@@ -1,0 +1,16 @@
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from frizbee_spark.session import get_spark
+
+    # small core count keeps test startup/shuffle overhead low
+    s = get_spark("frizbee-spark-tests", cores=8)
+    yield s
+    s.stop()

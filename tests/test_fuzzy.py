@@ -1,0 +1,113 @@
+"""Behavioral tests for the fuzzy matcher — the reference's matcher suite
+(/root/reference/src/one_shot/matcher.rs:167-241) plus the distributed
+operator."""
+
+import pytest
+
+from frizbee_spark.constants import MatchConfig
+from frizbee_spark.operators.fuzzy import (
+    IncrementalMatcher,
+    match_indices,
+    match_list,
+)
+
+HAYSTACK = ["deadbeef", "deadbf", "deadbeefg", "deadbe"]
+
+
+class TestMatchList:
+    def test_ordering(self):
+        # result order by score desc, index asc (matcher.rs:171-187)
+        matches = match_list("deadbe", HAYSTACK, MatchConfig(max_typos=None))
+        assert [m.index for m in matches] == [3, 0, 2, 1]
+
+    def test_no_typos(self):
+        matches = match_list("deadbe", HAYSTACK, MatchConfig(max_typos=0))
+        assert len(matches) == 3
+        assert {m.index for m in matches} == {0, 2, 3}
+
+    def test_one_typo(self):
+        matches = match_list("deadbe", HAYSTACK, MatchConfig(max_typos=1))
+        assert len(matches) == 4
+
+    def test_exact_match(self):
+        matches = match_list("deadbe", HAYSTACK, MatchConfig())
+        exact = [m for m in matches if m.exact]
+        assert len(exact) == 1
+        assert exact[0].index == 3
+
+    def test_exact_matches_many(self):
+        hs = ["deadbe", "deadbeef", "deadbe", "deadbf", "deadbe", "deadbeefg", "deadbe"]
+        matches = match_list("deadbe", hs, MatchConfig())
+        exact = [m for m in matches if m.exact]
+        assert len(exact) == 4
+        for m in exact:
+            assert hs[m.index] == "deadbe"
+
+    def test_empty_needle_matches_all_score_zero(self):
+        matches = match_list("", HAYSTACK, MatchConfig())
+        assert len(matches) == 4
+        assert all(m.score == 0 and not m.exact for m in matches)
+
+    def test_prefilter_equivalence(self):
+        # prefilter on/off must agree (reference cross-checks its
+        # prefilter variants the same way: prefilter/mod.rs:258-276)
+        for needle in ["dead", "bf", "xq", "DEADBE"]:
+            with_pf = match_list(needle, HAYSTACK, MatchConfig(prefilter=True))
+            without = match_list(needle, HAYSTACK, MatchConfig(prefilter=False))
+            assert [(m.index, m.score) for m in with_pf] == [
+                (m.index, m.score) for m in without
+            ]
+
+    def test_long_haystack_routes_to_greedy(self):
+        long_h = "x" * 600 + "deadbe" + "y" * 600
+        matches = match_list("deadbe", [long_h], MatchConfig(max_typos=None))
+        assert len(matches) == 1
+        assert matches[0].score > 0
+
+
+class TestMatchIndices:
+    def test_basic(self):
+        mi = match_indices("test", "Uterst")
+        assert mi is not None
+        assert mi.indices == [1, 2, 4, 5]
+
+    def test_typo_budget_rejects(self):
+        assert match_indices("xyz", "abc", MatchConfig(max_typos=0)) is None
+
+    def test_exact(self):
+        mi = match_indices("abc", "abc")
+        assert mi.exact and mi.indices == [0, 1, 2]
+
+
+class TestIncremental:
+    def test_same_as_oneshot_and_memoized(self):
+        m = IncrementalMatcher(HAYSTACK)
+        r1 = m.match_needle("dead")
+        r2 = m.match_needle("deadb")
+        r3 = m.match_needle("dead")  # backspace revisit
+        assert r1 == r3
+        assert r1 == match_list("dead", HAYSTACK)
+        assert [x.index for x in r2] == [x.index for x in match_list("deadb", HAYSTACK)]
+
+
+@pytest.mark.spark
+class TestFuzzySpark:
+    def test_matches_local(self, spark):
+        from frizbee_spark.operators.fuzzy import fuzzy_match
+
+        rows = [(i, h) for i, h in enumerate(HAYSTACK)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = fuzzy_match(df, "deadbe", config=MatchConfig(max_typos=None)).collect()
+        local = match_list("deadbe", HAYSTACK, MatchConfig(max_typos=None))
+        assert [(r.doc_id, r.score, r.exact) for r in got] == [
+            (m.index, m.score, m.exact) for m in local
+        ]
+
+    def test_min_length_pushdown(self, spark):
+        from frizbee_spark.operators.fuzzy import fuzzy_match
+
+        df = spark.createDataFrame(
+            [(i, h) for i, h in enumerate(HAYSTACK)], "doc_id long, text string"
+        )
+        plan = fuzzy_match(df, "deadbe")._jdf.queryExecution().executedPlan().toString()
+        assert "length" in plan.lower()  # catalyst filter present pre-UDF
