@@ -1,0 +1,250 @@
+"""Vectorized 64-bit hashing primitives for the dedup pipeline.
+
+Everything here is pure NumPy over *concatenated* byte buffers — one
+vectorized pass per Arrow batch, zero per-row Python. This is the
+engine-side analog of the reference's "cheap approximate filter feeding an
+exact verifier" design (/root/reference/src/prefilter/mod.rs:1-12,
+README.md:49-52): MinHash-LSH and SimHash are our prefilters, the banded
+Smith-Waterman wavefront (functions/wavefront.py) is the verifier. The
+64-bit per-string fingerprint idea specifically echoes the reference's
+dormant bitmask prefilter (/root/reference/src/prefilter/bitmask.rs:14-61).
+
+Design notes for 100 TB scale:
+- all kernels are O(total_bytes) with flat memory, driven by `reduceat`
+  over per-doc offsets, so cost per Arrow batch is linear and cache-friendly;
+- the rolling polynomial hash uses prefix sums + modular inverse of the
+  base (odd => invertible mod 2^64), so k-gram hashing never materializes
+  an (n, k) window matrix;
+- all constants are fixed (no RNG state), so every executor computes
+  byte-identical signatures — a hard requirement for deterministic,
+  resumable runs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_U64 = np.uint64
+_MASK64 = _U64(0xFFFFFFFFFFFFFFFF)
+
+# splitmix64 constants (public domain PRNG finalizer, Steele et al.)
+_SM_GAMMA = _U64(0x9E3779B97F4A7C15)
+_SM_M1 = _U64(0xBF58476D1CE4E5B9)
+_SM_M2 = _U64(0x94D049BB133111EB)
+
+# polynomial rolling-hash base: odd => invertible modulo 2^64
+_POLY_BASE = _U64(0x100000001B3)  # FNV-ish odd multiplier
+_POLY_BASE_INV = _U64(pow(0x100000001B3, -1, 1 << 64))
+
+
+def splitmix64(x: np.ndarray | int) -> np.ndarray:
+    """Vectorized splitmix64 finalizer: uint64 -> well-mixed uint64."""
+    with np.errstate(over="ignore"):
+        z = (np.asarray(x, dtype=_U64) + _SM_GAMMA) & _MASK64
+        z = ((z ^ (z >> _U64(30))) * _SM_M1) & _MASK64
+        z = ((z ^ (z >> _U64(27))) * _SM_M2) & _MASK64
+        return z ^ (z >> _U64(31))
+
+
+def mix_seed(x: np.ndarray, seed: int) -> np.ndarray:
+    """Seeded remix: one multiply + finalize per element."""
+    return splitmix64(np.asarray(x, dtype=_U64) ^ splitmix64(_U64(seed)))
+
+
+def hash64_bytes(data: bytes) -> int:
+    """64-bit hash of one byte string (driver-side convenience)."""
+    arr = np.frombuffer(data, dtype=np.uint8).astype(_U64)
+    if arr.size == 0:
+        return int(splitmix64(_U64(0)))
+    with np.errstate(over="ignore"):
+        pows = np.empty(arr.size, dtype=_U64)
+        pows[0] = _U64(1)
+        np.cumprod(np.full(arr.size - 1, _POLY_BASE, dtype=_U64), out=pows[1:])
+        h = _U64(int((arr * pows).sum(dtype=_U64)) ^ arr.size)
+    return int(splitmix64(h))
+
+
+def concat_docs(texts: list[bytes], min_len: int = 1) -> tuple[np.ndarray, np.ndarray]:
+    """Concatenate docs into one uint8 buffer, padding each to >= min_len.
+
+    Returns (buffer, doc_starts) where doc_starts has len(texts)+1 entries
+    (CSR-style offsets into the buffer).
+    """
+    lens = np.fromiter((max(len(t), min_len) for t in texts), dtype=np.int64, count=len(texts))
+    starts = np.zeros(len(texts) + 1, dtype=np.int64)
+    np.cumsum(lens, out=starts[1:])
+    buf = np.zeros(int(starts[-1]), dtype=np.uint8)
+    for i, t in enumerate(texts):
+        if t:
+            buf[starts[i] : starts[i] + len(t)] = np.frombuffer(t, dtype=np.uint8)
+    return buf, starts
+
+
+def char_shingle_hashes(
+    buf: np.ndarray, doc_starts: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Mixed 64-bit hashes of every char k-gram of every doc — one pass.
+
+    ``buf``/``doc_starts`` are from :func:`concat_docs` (docs padded to
+    >= k bytes so every doc yields >= 1 shingle). Uses prefix sums of
+    b[t] * BASE^t and the modular inverse of BASE, so the k-gram hash at
+    position i is (P[i+k] - P[i]) * BASE^-i — O(n) total, no window
+    matrix. Returns (shingle_hashes, shingle_starts) CSR-style.
+    """
+    n = buf.size
+    doc_lens = np.diff(doc_starts)
+    if doc_lens.size == 0 or n == 0:
+        return np.empty(0, dtype=_U64), np.zeros(doc_starts.size, dtype=np.int64)
+    if np.any(doc_lens < k):
+        raise ValueError("concat_docs must pad docs to at least k bytes")
+    counts = doc_lens - k + 1
+    sh_starts = np.zeros(doc_starts.size, dtype=np.int64)
+    np.cumsum(counts, out=sh_starts[1:])
+
+    with np.errstate(over="ignore"):
+        # pows[i] = BASE^i, invpows[i] = BASE^-i  (mod 2^64, wrapping cumprod)
+        pows = np.empty(n + 1, dtype=_U64)
+        pows[0] = _U64(1)
+        np.cumprod(np.full(n, _POLY_BASE, dtype=_U64), out=pows[1:])
+        invpows = np.empty(n, dtype=_U64)
+        invpows[0] = _U64(1)
+        np.cumprod(np.full(n - 1, _POLY_BASE_INV, dtype=_U64), out=invpows[1:])
+
+        prefix = np.zeros(n + 1, dtype=_U64)
+        np.cumsum(buf.astype(_U64) * pows[:n], out=prefix[1:], dtype=_U64)
+
+        # absolute window-start positions, all docs at once (CSR expand)
+        total = int(sh_starts[-1])
+        local = np.arange(total, dtype=np.int64) - np.repeat(sh_starts[:-1], counts)
+        abs_pos = np.repeat(doc_starts[:-1], counts) + local
+        raw = (prefix[abs_pos + k] - prefix[abs_pos]) * invpows[abs_pos]
+    return splitmix64(raw), sh_starts
+
+
+def minhash_signatures(
+    shingle_hashes: np.ndarray,
+    shingle_starts: np.ndarray,
+    num_perm: int = 128,
+    seed: int = 1,
+) -> np.ndarray:
+    """(ndocs, num_perm) uint64 MinHash signatures.
+
+    Permutation p is the seeded remix ``splitmix64(h ^ mix(seed, p))`` —
+    a fixed hash family, identical on every executor. min over a doc's
+    shingles via ``np.minimum.reduceat`` (multiset min == set min, so no
+    per-doc dedup is needed).
+    """
+    ndocs = shingle_starts.size - 1
+    sig = np.empty((ndocs, num_perm), dtype=_U64)
+    if ndocs == 0:
+        return sig
+    starts = shingle_starts[:-1]
+    seed_off = _U64((seed * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF)
+    with np.errstate(over="ignore"):
+        seeds = splitmix64(np.arange(num_perm, dtype=_U64) + seed_off)
+    for p in range(num_perm):
+        m = splitmix64(shingle_hashes ^ seeds[p])
+        sig[:, p] = np.minimum.reduceat(m, starts)
+    return sig
+
+
+def band_hashes(signatures: np.ndarray, bands: int, rows: int, seed: int = 2) -> np.ndarray:
+    """(ndocs, bands) int64 LSH band keys from (ndocs, P) signatures.
+
+    Band b combines signature columns [b*rows, (b+1)*rows) order-sensitively
+    (position-seeded remix + XOR), then finalizes with the band index so
+    identical row-chunks in different bands never collide. int64 output
+    (bit-identical reinterpret of uint64) because Spark has no unsigned type.
+    """
+    ndocs, p = signatures.shape
+    if bands * rows > p:
+        raise ValueError(f"bands*rows={bands * rows} exceeds signature width {p}")
+    acc = np.zeros((ndocs, bands), dtype=_U64)
+    for r in range(rows):
+        cols = signatures[:, np.arange(bands) * rows + r]
+        acc ^= splitmix64(cols ^ splitmix64(_U64(seed) + _U64(r)))
+    out = splitmix64(acc ^ splitmix64(np.arange(bands, dtype=_U64) + _U64(seed)))
+    return out.view(np.int64)
+
+
+def simhash64(shingle_hashes: np.ndarray, shingle_starts: np.ndarray) -> np.ndarray:
+    """64-bit SimHash per doc (bit-majority over shingle hashes), int64.
+
+    Scale/precedent note: this is the per-doc fingerprint analog of the
+    reference's bitmask prefilter (bitmask.rs:14-61) — compared later by
+    Hamming distance, not equality.
+    """
+    ndocs = shingle_starts.size - 1
+    if ndocs == 0:
+        return np.empty(0, dtype=np.int64)
+    starts = shingle_starts[:-1]
+    counts = np.diff(shingle_starts)
+    out = np.zeros(ndocs, dtype=_U64)
+    one = _U64(1)
+    for j in range(64):
+        bitsum = np.add.reduceat(
+            ((shingle_hashes >> _U64(j)) & one).astype(np.int64), starts
+        )
+        out |= ((2 * bitsum > counts).astype(_U64)) << _U64(j)
+    return out.view(np.int64)
+
+
+def winnow_fingerprints(
+    shingle_hashes: np.ndarray,
+    shingle_starts: np.ndarray,
+    window: int = 64,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Winnowing (Schleimer et al., SIGMOD'03 — public algorithm): per doc,
+    the min shingle hash of every length-`window` window, deduped on
+    consecutive repeats. Guarantees any shared run of >= window+k-1 bytes
+    between two docs shares >= 1 fingerprint — the long-exact-span
+    candidate pass (our analog of rerouting oversized inputs,
+    /root/reference/src/one_shot/mod.rs:20-25).
+
+    Returns (fingerprints, fp_starts) CSR-style; docs with fewer than
+    `window` shingles contribute their single global min.
+    """
+    ndocs = shingle_starts.size - 1
+    if ndocs == 0:
+        return np.empty(0, dtype=_U64), np.zeros(1, dtype=np.int64)
+    counts = np.diff(shingle_starts)
+    fps: list[np.ndarray] = []
+    sizes = np.empty(ndocs, dtype=np.int64)
+
+    # sliding min over the concatenated hash array (strided view, no copy),
+    # then per-doc slicing — windows crossing doc boundaries are skipped by
+    # construction because we only read positions [start, start+n_win) of
+    # each doc and n_win = count - window + 1
+    total = shingle_hashes.size
+    if total >= window:
+        swv = np.lib.stride_tricks.sliding_window_view(shingle_hashes, window)
+        rolled = swv.min(axis=1)
+    else:
+        rolled = None
+
+    for i in range(ndocs):
+        s, c = int(shingle_starts[i]), int(counts[i])
+        if c < window or rolled is None:
+            mins = shingle_hashes[s : s + c].min(keepdims=True)
+        else:
+            w = rolled[s : s + c - window + 1]
+            keep = np.ones(w.size, dtype=bool)
+            keep[1:] = w[1:] != w[:-1]  # dedupe consecutive identical mins
+            mins = np.unique(w[keep])
+        fps.append(mins)
+        sizes[i] = mins.size
+
+    fp_starts = np.zeros(ndocs + 1, dtype=np.int64)
+    np.cumsum(sizes, out=fp_starts[1:])
+    return np.concatenate(fps), fp_starts
+
+
+def jaccard_from_shingles(
+    shingle_hashes: np.ndarray, shingle_starts: np.ndarray, i: int, j: int
+) -> float:
+    """Exact Jaccard of two docs' shingle *sets* (test oracle helper)."""
+    a = np.unique(shingle_hashes[shingle_starts[i] : shingle_starts[i + 1]])
+    b = np.unique(shingle_hashes[shingle_starts[j] : shingle_starts[j + 1]])
+    inter = np.intersect1d(a, b, assume_unique=True).size
+    union = a.size + b.size - inter
+    return inter / union if union else 1.0

@@ -1,0 +1,406 @@
+"""Near-duplicate detection stages, Spark-first.
+
+Stage layout mirrors the reference's scan -> cheap-prefilter -> exact-verify
+dataflow (/root/reference/src/one_shot/matcher.rs:91-144, prefilter design
+note /root/reference/README.md:49-52), lifted from 1-needle-vs-N-strings to
+N-docs-vs-N-docs:
+
+  extract_text     html binary -> text (byte-identity invariant)
+  compute_signatures  norm text -> MinHash sigs + LSH band keys + SimHash
+                      (vectorized Arrow UDF, zero per-row Python)
+  candidate generation:
+      exact_hash_pairs    xxhash64(norm_text) equality       [A4 fast path]
+      lsh_band_pairs      MinHash-LSH bucket pairing          [F5 precedent]
+      simhash_pairs       16-bit chunk buckets + Hamming<=k   [F7 precedent]
+      winnow_span_pairs   shared winnowing fingerprints       [F9 rerouting]
+  verify_pairs     banded Smith-Waterman similarity           [K1/K2]
+
+Everything relational is plain Catalyst (filters push down, joins are
+broadcast/sort-merge by AQE); everything numeric is a vectorized Arrow UDF
+over the NumPy kernels in functions/hashing.py and functions/wavefront.py.
+
+Skew handling (north-rule requirement): bucket pair generation is salted —
+buckets larger than `salt_threshold` are split by a doc_id hash into
+`n_salt` sub-buckets paired independently, then re-linked through their
+per-salt representatives, so no single task ever materializes a quadratic
+(or even full-bucket) group. Dense buckets emit all pairs; large buckets
+emit chain+star edges (linear) which preserve bucket connectivity for the
+downstream connected-components stage.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from ..functions.hashing import (
+    band_hashes,
+    char_shingle_hashes,
+    concat_docs,
+    minhash_signatures,
+    simhash64,
+    winnow_fingerprints,
+)
+from ..functions.wavefront import normalized_similarity, self_scores_batch, sw_score_banded
+
+
+@dataclass(frozen=True)
+class DedupConfig:
+    """Shingle/signature/band config (the knobs the north rule fixes)."""
+
+    shingle_k: int = 12          # char k-gram width over normalized text
+    num_perm: int = 128          # MinHash permutations
+    bands: int = 32              # LSH bands ...
+    band_rows: int = 4           # ... of this many signature rows each
+    sim_threshold: float = 0.80  # SW normalized-similarity accept threshold
+    band_radius: int = 64        # SW wavefront band half-width
+    hamming_max: int = 3         # SimHash Hamming acceptance radius
+    dense_cap: int = 32          # bucket size up to which all pairs are emitted
+    salt_threshold: int = 5000   # bucket size above which salting kicks in
+    n_salt: int = 64             # salt fan-out for hot buckets
+    winnow_window: int = 64      # winnowing window (shingles) for span pass
+    span_shingle_k: int = 48     # longer shingles for the span pass: chance
+                                 # 48-byte collisions across unrelated docs
+                                 # are ~0, so fp buckets stay tight
+    span_min_len: int = 2000     # only docs this long enter the span pass
+    span_min_shared: int = 2     # shared fingerprints to call a span pair
+    max_pairs_per_bucket: int = 100_000  # hard cap per (bucket, salt) group
+
+
+DEFAULT_DEDUP = DedupConfig()
+
+_HTML_PREFIX = b"<html><body>"
+_HTML_SUFFIX = b"</body></html>"
+
+
+def extract_text(df: DataFrame, html_col: str = "html") -> DataFrame:
+    """html binary -> extracted_text string, as a Catalyst expression.
+
+    The sandbox corpus wraps text in a fixed shell, so extraction is a
+    substring; a real crawl would swap in a proper extractor UDF here. The
+    byte-identity invariant (input_hint: "byte-identical extracted text
+    per url") is asserted by tests comparing this column to `text`.
+    """
+    p, s = len(_HTML_PREFIX), len(_HTML_SUFFIX)
+    return df.withColumn(
+        "extracted_text",
+        F.expr(
+            f"CAST(substring({html_col}, {p + 1}, "
+            f"octet_length({html_col}) - {p + s}) AS STRING)"
+        ),
+    )
+
+
+def normalize_text(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace-collapse + casefold, all JVM-side (no UDF).
+
+    Case folding at normalization time replaces the reference's per-char
+    insensitive compare masks (src/smith_waterman/simd/types.rs:47-87) —
+    done once here instead of per DP cell.
+    """
+    return df.withColumn(
+        "norm_text", F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    )
+
+
+def with_doc_id(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Stable 64-bit doc id = xxhash64(url) (JVM-side, deterministic).
+
+    At 10^12 docs a single 64-bit id has a real birthday-collision count
+    (~tens of thousands); production would widen to a (xxhash64, crc32)
+    composite or keep the url through the pair stage. The pipeline checks
+    `countDistinct(doc_id) == count(url)` and fails loudly on collision.
+    """
+    return df.withColumn("doc_id", F.xxhash64(F.col(url_col)))
+
+
+def compute_signatures(
+    df: DataFrame, cfg: DedupConfig = DEFAULT_DEDUP, id_col: str = "doc_id",
+    text_col: str = "norm_text",
+) -> DataFrame:
+    """One vectorized pass: doc -> MinHash signature, band keys, SimHash.
+
+    Output: (doc_id, text_hash, n_bytes, minhash array<long>,
+    band_keys array<long>, simhash long). text_hash is xxhash64(norm_text)
+    computed JVM-side — the exact-duplicate fast path (survey A4).
+    """
+    work = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("_t"),
+        F.xxhash64(F.col(text_col)).alias("text_hash"),
+        F.octet_length(F.col(text_col)).alias("n_bytes"),
+    )
+    k, num_perm = cfg.shingle_k, cfg.num_perm
+    bands, rows = cfg.bands, cfg.band_rows
+
+    def run(batches):
+        for pdf in batches:
+            texts = [t.encode("utf-8") for t in pdf["_t"].tolist()]
+            buf, starts = concat_docs(texts, min_len=k)
+            sh, sst = char_shingle_hashes(buf, starts, k)
+            sig = minhash_signatures(sh, sst, num_perm)
+            bnd = band_hashes(sig, bands, rows)
+            sim = simhash64(sh, sst)
+            out = pdf[["doc_id", "text_hash", "n_bytes"]].copy()
+            out["minhash"] = list(sig.view(np.int64))
+            out["band_keys"] = list(bnd)
+            out["simhash"] = sim
+            yield out
+
+    schema = (
+        "doc_id long, text_hash long, n_bytes long, "
+        "minhash array<long>, band_keys array<long>, simhash long"
+    )
+    return work.mapInPandas(run, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# bucket -> candidate pairs (shared by exact / LSH / SimHash passes)
+# ---------------------------------------------------------------------------
+
+def pairs_from_buckets(
+    bucketed: DataFrame,
+    key_cols: list[str],
+    cfg: DedupConfig = DEFAULT_DEDUP,
+    keep_multiplicity: bool = False,
+) -> DataFrame:
+    """(key_cols..., doc_id) -> canonical candidate pairs (a < b).
+
+    Pure Catalyst — no Python in this path (per-group pandas overhead
+    would dominate with millions of tiny buckets):
+
+    - buckets <= dense_cap docs: self-equi-join on the bucket key emits
+      the complete pair set (verification can then reject any edge
+      without disconnecting a true dup group);
+    - larger buckets: a window sort per bucket emits chain (lag) + star
+      (first) edges — 2n-3 edges, linear, connectivity preserved;
+    - buckets > salt_threshold: split by a doc_id hash into n_salt
+      sub-buckets chained independently (bounded per-task work), then
+      re-linked through per-salt min-doc representatives. This is the
+      "salted groupBy for hot LSH buckets" the north rule names — AQE
+      skew handling covers joins, not giant groupBy/window groups, so we
+      salt explicitly.
+    """
+    keys = [F.col(c) for c in key_cols]
+    sizes = bucketed.groupBy(*keys).agg(F.count("*").alias("_bsz"))
+    work = bucketed.join(sizes.filter(F.col("_bsz") > 1), key_cols)
+
+    small = work.filter(F.col("_bsz") <= cfg.dense_cap)
+    dense = (
+        small.select(*keys, F.col("doc_id").alias("a"))
+        .join(small.select(*keys, F.col("doc_id").alias("b")), key_cols)
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+    )
+
+    big = work.filter(F.col("_bsz") > cfg.dense_cap).withColumn(
+        "_salt",
+        F.when(
+            F.col("_bsz") > cfg.salt_threshold,
+            F.pmod(F.xxhash64("doc_id"), F.lit(cfg.n_salt)),
+        ).otherwise(F.lit(0)),
+    )
+    w = Window.partitionBy(*key_cols, "_salt").orderBy("doc_id")
+    big = big.select(
+        *keys, "_salt", "doc_id",
+        F.lag("doc_id").over(w).alias("_prev"),
+        F.first("doc_id").over(w).alias("_min"),
+    )
+    chain = big.filter(F.col("_prev").isNotNull()).select(
+        F.col("_prev").alias("a"), F.col("doc_id").alias("b")
+    )
+    star = big.filter(
+        (F.col("doc_id") != F.col("_min"))
+        & (F.col("_prev").isNotNull())
+        & (F.col("_prev") != F.col("_min"))
+    ).select(F.col("_min").alias("a"), F.col("doc_id").alias("b"))
+
+    # re-link salted sub-buckets: chain the per-(bucket, salt) min docs
+    reps = (
+        big.filter(F.col("_bsz") > cfg.salt_threshold)
+        .groupBy(*keys, "_salt")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    wr = Window.partitionBy(*key_cols).orderBy("doc_id")
+    rep_links = (
+        reps.withColumn("_prev", F.lag("doc_id").over(wr))
+        .filter(F.col("_prev").isNotNull())
+        .select(F.col("_prev").alias("a"), F.col("doc_id").alias("b"))
+    )
+
+    pairs = dense.unionByName(chain).unionByName(star).unionByName(rep_links)
+    canon = pairs.select(
+        F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+    ).filter(F.col("a") != F.col("b"))
+    if keep_multiplicity:
+        # one row per (bucket, pair) — callers count co-occurrences
+        return canon
+    return canon.dropDuplicates(["a", "b"])
+
+
+def exact_hash_pairs(signatures: DataFrame, cfg: DedupConfig = DEFAULT_DEDUP) -> DataFrame:
+    """Exact-duplicate edges: same (xxhash64(norm_text), n_bytes) bucket."""
+    b = signatures.select("text_hash", "n_bytes", "doc_id")
+    return pairs_from_buckets(b, ["text_hash", "n_bytes"], cfg)
+
+
+def lsh_band_pairs(signatures: DataFrame, cfg: DedupConfig = DEFAULT_DEDUP) -> DataFrame:
+    """MinHash-LSH candidate edges: same (band_id, band_key) bucket."""
+    b = signatures.select(
+        F.posexplode("band_keys").alias("band_id", "band_key"), "doc_id"
+    )
+    return pairs_from_buckets(b, ["band_id", "band_key"], cfg)
+
+
+def simhash_pairs(signatures: DataFrame, cfg: DedupConfig = DEFAULT_DEDUP) -> DataFrame:
+    """SimHash candidate edges: equal 16-bit chunk, Hamming(sim) <= k.
+
+    Hamming <= 3 over 4 chunks guarantees one equal chunk (pigeonhole), so
+    chunk buckets have no false negatives; the bit_count filter afterwards
+    is exact and JVM-side (survey F7 — the reference's dormant bitmask
+    prefilter, compared by popcount there too: bitmask.rs:50-58).
+    """
+    chunks = signatures.select(
+        "doc_id", "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("chunk_id"),
+                    (F.shiftrightunsigned("simhash", 16 * i) % F.lit(65536)).alias("chunk"),
+                )
+                for i in range(4)
+            ])
+        ).alias("c"),
+    ).select("doc_id", "simhash", "c.chunk_id", "c.chunk")
+    pairs = pairs_from_buckets(chunks.select("chunk_id", "chunk", "doc_id"),
+                               ["chunk_id", "chunk"], cfg)
+    sim = signatures.select("doc_id", "simhash")
+    return (
+        pairs.join(sim.withColumnsRenamed({"doc_id": "a", "simhash": "_sa"}), "a")
+        .join(sim.withColumnsRenamed({"doc_id": "b", "simhash": "_sb"}), "b")
+        .filter(F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))) <= cfg.hamming_max)
+        .select("a", "b")
+    )
+
+
+def winnow_span_pairs(
+    docs: DataFrame, cfg: DedupConfig = DEFAULT_DEDUP,
+    id_col: str = "doc_id", text_col: str = "norm_text",
+) -> DataFrame:
+    """Long-exact-span candidate pairs via winnowing fingerprints.
+
+    The scalable stand-in for a suffix-array substring pass: any shared
+    run >= (winnow_window + shingle_k - 1) bytes shares >= 1 fingerprint
+    (winnowing guarantee); requiring `span_min_shared` shared fingerprints
+    suppresses chance collisions. Only docs >= span_min_len enter (the
+    cost-based routing precedent of one_shot/mod.rs:20-25).
+    """
+    k, win = cfg.span_shingle_k, cfg.winnow_window
+    work = docs.filter(F.octet_length(F.col(text_col)) >= cfg.span_min_len).select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t")
+    )
+
+    def run(batches):
+        for pdf in batches:
+            texts = [t.encode("utf-8") for t in pdf["_t"].tolist()]
+            buf, starts = concat_docs(texts, min_len=k)
+            sh, sst = char_shingle_hashes(buf, starts, k)
+            fp, fst = winnow_fingerprints(sh, sst, window=win)
+            counts = np.diff(fst)
+            ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            yield pd.DataFrame(
+                {"doc_id": np.repeat(ids, counts), "fp": fp.view(np.int64)}
+            )
+
+    fps = work.mapInPandas(run, schema="doc_id long, fp long")
+    # a pair co-occurring in m fingerprint buckets shares >= m fingerprints
+    return (
+        pairs_from_buckets(fps.select("fp", "doc_id"), ["fp"], cfg, keep_multiplicity=True)
+        .groupBy("a", "b").agg(F.count("*").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= cfg.span_min_shared)
+    )
+
+
+# ---------------------------------------------------------------------------
+# verification — banded Smith-Waterman over candidate pairs
+# ---------------------------------------------------------------------------
+
+def verify_pairs(
+    pairs: DataFrame,
+    docs: DataFrame,
+    cfg: DedupConfig = DEFAULT_DEDUP,
+    id_col: str = "doc_id",
+    text_col: str = "norm_text",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Candidate pairs -> (a, b, score, similarity, exact, verified).
+
+    Two equi-joins attach both texts (AQE picks broadcast vs sort-merge;
+    at 10^12-doc scale these are sort-merge joins co-partitioned on the
+    id — Iceberg bucket partitioning on doc_id makes them storage-
+    partitioned). The UDF batch is the SIMD lane block: exact pairs short-
+    circuit on hash equality (survey A4), the rest run the banded wavefront
+    sub-batched by the length ladder (survey B1) to minimize padding waste.
+    """
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("_t"),
+        F.xxhash64(F.col(text_col)).alias("_h"),
+    )
+    joined = (
+        pairs.select("a", "b")
+        .join(d.withColumnsRenamed({"doc_id": "a", "_t": "_ta", "_h": "_ha"}), "a")
+        .join(d.withColumnsRenamed({"doc_id": "b", "_t": "_tb", "_h": "_hb"}), "b")
+    )
+    if num_partitions:
+        joined = joined.repartition(num_partitions)
+
+    radius, thresh = cfg.band_radius, cfg.sim_threshold
+
+    def run(batches):
+        for pdf in batches:
+            n = len(pdf)
+            ta = [t.encode("utf-8") for t in pdf["_ta"].tolist()]
+            tb = [t.encode("utf-8") for t in pdf["_tb"].tolist()]
+            exact = pdf["_ha"].to_numpy() == pdf["_hb"].to_numpy()
+            scores = np.zeros(n, dtype=np.int64)
+            sims = np.zeros(n, dtype=np.float64)
+            sims[exact] = 1.0
+
+            todo = np.flatnonzero(~exact)
+            if todo.size:
+                lens = np.array([max(len(ta[i]), len(tb[i])) for i in todo])
+                order = todo[np.argsort(lens, kind="stable")]
+                # length-ladder sub-batching: pad within a 2x length ribbon
+                start = 0
+                while start < order.size:
+                    w0 = max(len(ta[order[start]]), len(tb[order[start]]))
+                    stop = start + 1
+                    while stop < order.size:
+                        w = max(len(ta[order[stop]]), len(tb[order[stop]]))
+                        if w > max(2 * w0, w0 + 256) or stop - start >= 256:
+                            break
+                        stop += 1
+                    sel = order[start:stop]
+                    a_b = [ta[i] for i in sel]
+                    b_b = [tb[i] for i in sel]
+                    s = sw_score_banded(a_b, b_b, band_radius=radius, assume_folded=True)
+                    self_a = self_scores_batch(a_b)
+                    self_b = self_scores_batch(b_b)
+                    sims[sel] = normalized_similarity(s, self_a, self_b)
+                    scores[sel] = s
+                    start = stop
+
+            out = pdf[["a", "b"]].copy()
+            out["score"] = scores
+            out["similarity"] = sims
+            out["exact"] = exact
+            out["verified"] = exact | (sims >= thresh)
+            yield out
+
+    schema = "a long, b long, score long, similarity double, exact boolean, verified boolean"
+    return joined.mapInPandas(run, schema=schema)

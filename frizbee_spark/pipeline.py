@@ -1,0 +1,275 @@
+"""End-to-end near-duplicate detection pipeline with resumable stages.
+
+Stage graph (each checkpointable, north-rule requirements in brackets):
+
+    documents    source + extract + normalize + doc_id  [byte-identity]
+    signatures   MinHash/band/SimHash per doc           [vectorized UDFs]
+    candidates   exact ∪ LSH ∪ SimHash pairs            [salted groupBy]
+    span_pairs   winnowing long-exact-span pairs        [substring pass]
+    verified     banded SW similarity per pair          [SW verifier]
+    edges        verified pairs only
+    clusters     large-star/small-star CC               [explicit shuffle]
+    canonical    earliest doc per cluster               [window]
+
+Checkpointing: every stage writes parquet under `workdir/<stage>` and a
+completed stage (Spark `_SUCCESS` marker) is *read back, not recomputed*
+on the next run — the resumable-stage-boundary requirement. The storage
+layer is parquet in the sandbox; on a real deployment each `write` maps
+to an Iceberg `writeTo(...).createOrReplace()` and resume maps to reading
+the table's last committed snapshot (same semantics: atomic visible-only-
+when-complete commits). This mirrors the reference's incremental matcher,
+which persists pre-interleaved buckets once and recomputes only what a
+new needle invalidates (/root/reference/src/incremental/matcher.rs:13-118).
+
+Metrics + lineage: every stage appends rows to `workdir/_metrics`
+(stage-level wall time / row counts) and `workdir/_lineage` (per-partition
+row counts from `spark_partition_id()`), the per-partition lineage+metrics
+rows the north rule names.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from .operators.components import assign_clusters
+from .operators.dedup import (
+    DEFAULT_DEDUP,
+    DedupConfig,
+    compute_signatures,
+    exact_hash_pairs,
+    extract_text,
+    lsh_band_pairs,
+    normalize_text,
+    simhash_pairs,
+    verify_pairs,
+    winnow_span_pairs,
+    with_doc_id,
+)
+
+STAGES = (
+    "documents", "signatures", "candidates", "span_pairs",
+    "verified", "edges", "clusters", "canonical",
+)
+
+
+@dataclass
+class PipelineConfig:
+    workdir: str
+    dedup: DedupConfig = field(default_factory=lambda: DEFAULT_DEDUP)
+    resume: bool = True
+    enable_simhash: bool = True
+    enable_span: bool = True
+    check_extraction: bool = True   # assert extracted_text == text per url
+    check_id_collisions: bool = True
+    pair_partitions: int | None = None  # repartition before verify
+
+
+class CheckpointStore:
+    """Parquet-backed stage store (Iceberg-snapshot stand-in, see module doc)."""
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def path(self, stage: str) -> str:
+        return os.path.join(self.root, stage)
+
+    def is_complete(self, stage: str) -> bool:
+        return os.path.exists(os.path.join(self.path(stage), "_SUCCESS"))
+
+    def write(self, stage: str, df: DataFrame) -> None:
+        df.write.mode("overwrite").parquet(self.path(stage))
+
+    def read(self, spark: SparkSession, stage: str) -> DataFrame:
+        return spark.read.parquet(self.path(stage))
+
+    def invalidate(self, stage: str) -> None:
+        import shutil
+
+        shutil.rmtree(self.path(stage), ignore_errors=True)
+
+
+class NearDupPipeline:
+    def __init__(self, spark: SparkSession, cfg: PipelineConfig):
+        self.spark = spark
+        self.cfg = cfg
+        self.store = CheckpointStore(cfg.workdir)
+        self._metrics: list[tuple] = []
+
+    # -- bookkeeping --------------------------------------------------------
+
+    def _record(self, stage: str, df: DataFrame, wall_ms: float, resumed: bool) -> None:
+        lineage = (
+            df.groupBy(F.spark_partition_id().alias("partition_id"))
+            .agg(F.count("*").alias("rows_out"))
+            .withColumn("stage", F.lit(stage))
+            .select("stage", "partition_id", "rows_out")
+        )
+        lineage.write.mode("append").parquet(os.path.join(self.cfg.workdir, "_lineage"))
+        rows = lineage.agg(F.sum("rows_out")).collect()[0][0] or 0
+        self._metrics.append((stage, int(rows), float(wall_ms), bool(resumed)))
+
+    def flush_metrics(self) -> None:
+        if not self._metrics:
+            return
+        mdf = self.spark.createDataFrame(
+            self._metrics, "stage string, rows_out long, wall_ms double, resumed boolean"
+        )
+        mdf.write.mode("append").parquet(os.path.join(self.cfg.workdir, "_metrics"))
+        self._metrics = []
+
+    def metrics(self) -> DataFrame:
+        return self.store.read(self.spark, "_metrics")
+
+    def lineage(self) -> DataFrame:
+        return self.store.read(self.spark, "_lineage")
+
+    def _stage(self, name: str, compute) -> DataFrame:
+        """Run-or-resume one stage; always returns the checkpointed table."""
+        t0 = time.monotonic()
+        resumed = self.cfg.resume and self.store.is_complete(name)
+        if not resumed:
+            self.store.write(name, compute())
+        out = self.store.read(self.spark, name)
+        self._record(name, out, (time.monotonic() - t0) * 1e3, resumed)
+        return out
+
+    # -- stages -------------------------------------------------------------
+
+    def run(
+        self,
+        docs: DataFrame | None = None,
+        input_path: str | None = None,
+        until: str = "canonical",
+    ) -> dict[str, DataFrame]:
+        """Execute stages up to `until` (inclusive); returns stage tables."""
+        cfg, d = self.cfg, self.cfg.dedup
+        out: dict[str, DataFrame] = {}
+
+        def s_documents():
+            src = docs if docs is not None else self.spark.read.parquet(
+                os.path.join(input_path, "documents.parquet")
+            )
+            has_html = "html" in src.columns
+            work = extract_text(src) if has_html else src.withColumn(
+                "extracted_text", F.col("text")
+            )
+            if cfg.check_extraction and "text" in src.columns:
+                bad = work.filter(F.col("extracted_text") != F.col("text")).count()
+                if bad:
+                    raise AssertionError(
+                        f"extraction broke byte-identity for {bad} urls"
+                    )
+            work = normalize_text(work, "extracted_text")
+            id_src = "url" if "url" in src.columns else "doc_id"
+            if id_src == "url":
+                work = with_doc_id(work, "url")
+            if cfg.check_id_collisions:
+                c = work.agg(
+                    F.count("*").alias("n"),
+                    F.countDistinct("doc_id").alias("d"),
+                ).collect()[0]
+                if c["n"] != c["d"]:
+                    raise AssertionError(
+                        f"doc_id collision: {c['n']} rows, {c['d']} distinct ids"
+                    )
+            keep = [c for c in ("url", "warc_ts", "text", "lang") if c in work.columns]
+            return work.select("doc_id", *keep, "norm_text")
+
+        documents = self._stage("documents", s_documents)
+        out["documents"] = documents
+        if until == "documents":
+            self.flush_metrics()
+            return out
+
+        signatures = self._stage(
+            "signatures", lambda: compute_signatures(documents, d)
+        )
+        out["signatures"] = signatures
+        if until == "signatures":
+            self.flush_metrics()
+            return out
+
+        def s_candidates():
+            parts = [
+                exact_hash_pairs(signatures, d).withColumn("kind", F.lit("exact_hash")),
+                lsh_band_pairs(signatures, d).withColumn("kind", F.lit("minhash_lsh")),
+            ]
+            if cfg.enable_simhash:
+                parts.append(
+                    simhash_pairs(signatures, d).withColumn("kind", F.lit("simhash"))
+                )
+            allp = parts[0]
+            for p in parts[1:]:
+                allp = allp.unionByName(p)
+            pri = F.when(F.col("kind") == "exact_hash", 0).when(
+                F.col("kind") == "minhash_lsh", 1
+            ).otherwise(2)
+            return (
+                allp.withColumn("_pri", pri)
+                .groupBy("a", "b")
+                .agg(F.min(F.struct("_pri", "kind")).alias("_k"))
+                .select("a", "b", F.col("_k.kind").alias("kind"))
+            )
+
+        candidates = self._stage("candidates", s_candidates)
+        out["candidates"] = candidates
+        if until == "candidates":
+            self.flush_metrics()
+            return out
+
+        if cfg.enable_span:
+            span = self._stage(
+                "span_pairs", lambda: winnow_span_pairs(documents, d)
+            )
+            out["span_pairs"] = span
+        if until == "span_pairs":
+            self.flush_metrics()
+            return out
+
+        verified = self._stage(
+            "verified",
+            lambda: verify_pairs(
+                candidates, documents, d, num_partitions=cfg.pair_partitions
+            ),
+        )
+        out["verified"] = verified
+        if until == "verified":
+            self.flush_metrics()
+            return out
+
+        edges = self._stage(
+            "edges", lambda: verified.filter("verified").select("a", "b")
+        )
+        out["edges"] = edges
+        if until == "edges":
+            self.flush_metrics()
+            return out
+
+        clusters = self._stage(
+            "clusters", lambda: assign_clusters(documents, edges)
+        )
+        out["clusters"] = clusters
+        if until == "clusters":
+            self.flush_metrics()
+            return out
+
+        def s_canonical():
+            joined = documents.join(clusters, "doc_id")
+            order = [F.asc("warc_ts")] if "warc_ts" in documents.columns else []
+            order += [F.asc("url")] if "url" in documents.columns else [F.asc("doc_id")]
+            w = Window.partitionBy("cluster_id").orderBy(*order)
+            return (
+                joined.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn", "norm_text")
+            )
+
+        out["canonical"] = self._stage("canonical", s_canonical)
+        self.flush_metrics()
+        return out
