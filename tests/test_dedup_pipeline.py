@@ -1,0 +1,236 @@
+"""End-to-end pipeline tests on the deterministic synthetic corpus:
+recall vs brute-force ground truth, byte-identity invariant, resume
+equivalence, salting equivalence. The corpus scale is small (pytest
+budget) — bench.py exercises sf-scale runs.
+"""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from frizbee_spark.operators.dedup import (
+    DedupConfig,
+    compute_signatures,
+    extract_text,
+    normalize_text,
+    pairs_from_buckets,
+    verify_pairs,
+    with_doc_id,
+)
+from frizbee_spark.pipeline import NearDupPipeline, PipelineConfig
+from frizbee_spark.sources.corpus import write_corpus
+
+N_DOCS = 400
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("corpus"))
+    write_corpus(d, N_DOCS)
+    return d
+
+
+@pytest.fixture(scope="module")
+def result(spark, corpus_dir, tmp_path_factory):
+    work = str(tmp_path_factory.mktemp("work"))
+    pipe = NearDupPipeline(spark, PipelineConfig(workdir=work))
+    out = pipe.run(input_path=corpus_dir)
+    return pipe, out, work
+
+
+@pytest.mark.spark
+class TestPipelineEndToEnd:
+    def test_dup_pair_recall(self, spark, corpus_dir, result):
+        _, out, _ = result
+        docs, clus = out["documents"], out["clusters"]
+        truth = spark.read.parquet(os.path.join(corpus_dir, "truth_pairs.parquet"))
+        url2c = docs.select("url", "doc_id").join(clus, "doc_id").select("url", "cluster_id")
+        t = (
+            truth.filter(F.col("kind").isin("exact", "near"))
+            .join(url2c.withColumnsRenamed({"url": "a_url", "cluster_id": "ca"}), "a_url")
+            .join(url2c.withColumnsRenamed({"url": "b_url", "cluster_id": "cb"}), "b_url")
+        )
+        tot = t.count()
+        hit = t.filter("ca = cb").count()
+        assert tot > 30
+        assert hit / tot >= 0.99, f"dup-pair recall {hit}/{tot}"
+
+    def test_no_false_merges_of_unique_docs(self, spark, corpus_dir, result):
+        """Precision guard: two 'unique'-class docs never share a cluster
+        (they may legitimately cluster with their own dups)."""
+        _, out, _ = result
+        from frizbee_spark.sources.corpus import CLASS_UNIQUE, class_of
+
+        docs, clus = out["documents"], out["clusters"]
+        truth_c = spark.read.parquet(os.path.join(corpus_dir, "truth_clusters.parquet"))
+        joined = (
+            docs.select("url", "doc_id").join(clus, "doc_id")
+            .join(truth_c.withColumnRenamed("cluster_id", "truth_cluster"), "url")
+        )
+        rows = joined.collect()
+        # within each predicted cluster, all members must share one truth cluster
+        by_pred = {}
+        for r in rows:
+            by_pred.setdefault(r["cluster_id"], set()).add(r["truth_cluster"])
+        # boilerplate/span docs may merge across truth clusters by design;
+        # restrict the check to clusters made only of exact/near/unique docs
+        urls = {r["url"]: r for r in rows}
+        order = docs.select("url").toPandas()["url"].tolist()
+        row_of = {u: i for i, u in enumerate(order)}
+        for pred, truths in by_pred.items():
+            members = [r["url"] for r in rows if r["cluster_id"] == pred]
+            kinds = {class_of(row_of[u]) for u in members}
+            if kinds <= {"unique", "exact", "near"}:
+                assert len(truths) == 1, f"false merge in cluster {pred}: {members}"
+
+    def test_byte_identity_through_pipeline(self, spark, corpus_dir, result):
+        _, out, _ = result
+        src = spark.read.parquet(os.path.join(corpus_dir, "documents.parquet"))
+        ext = extract_text(src).select("url", "extracted_text")
+        bad = ext.join(src.select("url", "text"), "url").filter(
+            F.col("extracted_text") != F.col("text")
+        )
+        assert bad.count() == 0
+        # and the checkpointed documents table preserves original text
+        chk = out["documents"].select("url", "text").join(
+            src.select("url", F.col("text").alias("src_text")), "url"
+        )
+        assert chk.filter(F.col("text") != F.col("src_text")).count() == 0
+
+    def test_exact_pairs_found_by_hash_path(self, result):
+        _, out, _ = result
+        kinds = {r["kind"]: r["count"] for r in
+                 out["candidates"].groupBy("kind").count().collect()}
+        assert kinds.get("exact_hash", 0) > 10
+
+    def test_span_recall(self, spark, corpus_dir, result):
+        _, out, _ = result
+        docs = out["documents"]
+        truth = spark.read.parquet(os.path.join(corpus_dir, "truth_pairs.parquet"))
+        spans = truth.filter("kind = 'span'")
+        sp = (
+            spans.join(docs.select(F.col("url").alias("a_url"),
+                                   F.col("doc_id").alias("da")), "a_url")
+            .join(docs.select(F.col("url").alias("b_url"),
+                              F.col("doc_id").alias("db")), "b_url")
+            .withColumn("a", F.least("da", "db"))
+            .withColumn("b", F.greatest("da", "db"))
+            .select("a", "b")
+        )
+        tot = sp.count()
+        hit = sp.join(out["span_pairs"], ["a", "b"]).count()
+        assert tot > 5
+        assert hit / tot >= 0.95, f"span recall {hit}/{tot}"
+
+    def test_metrics_and_lineage_written(self, result):
+        pipe, _, work = result
+        m = pipe.metrics().toPandas()
+        assert set(m["stage"]) >= {"documents", "signatures", "candidates",
+                                   "verified", "edges", "clusters"}
+        lin = pipe.lineage().toPandas()
+        assert {"stage", "partition_id", "rows_out"} <= set(lin.columns)
+        assert (lin["rows_out"] > 0).any()
+
+    def test_resume_identical_clusters(self, spark, corpus_dir, result, tmp_path):
+        pipe, out, work = result
+        before = sorted(map(tuple, out["clusters"].collect()))
+        # work on a copy so the shared fixture's checkpoints stay intact
+        work2 = str(tmp_path / "resume_work")
+        shutil.copytree(work, work2)
+        pipe2 = NearDupPipeline(spark, PipelineConfig(workdir=work2))
+        # wipe everything after signatures: simulate a mid-run kill
+        for st in ["candidates", "span_pairs", "verified", "edges",
+                   "clusters", "canonical"]:
+            pipe2.store.invalidate(st)
+        out2 = pipe2.run(input_path=corpus_dir)
+        after = sorted(map(tuple, out2["clusters"].collect()))
+        assert before == after
+
+    def test_canonical_one_per_cluster(self, result):
+        _, out, _ = result
+        canon = out["canonical"]
+        n_clusters = out["clusters"].select("cluster_id").distinct().count()
+        assert canon.count() == n_clusters
+        assert canon.select("cluster_id").distinct().count() == n_clusters
+
+
+@pytest.mark.spark
+class TestPairsFromBuckets:
+    def test_dense_bucket_all_pairs(self, spark):
+        rows = [(1, i) for i in range(5)]
+        df = spark.createDataFrame(rows, "bkt long, doc_id long")
+        got = sorted(map(tuple, pairs_from_buckets(df, ["bkt"]).collect()))
+        import itertools
+
+        want = sorted(itertools.combinations(range(5), 2))
+        assert got == [tuple(p) for p in want]
+
+    def test_large_bucket_linear_and_connected(self, spark):
+        cfg = DedupConfig(dense_cap=8)
+        rows = [(1, i) for i in range(50)]
+        df = spark.createDataFrame(rows, "bkt long, doc_id long")
+        got = pairs_from_buckets(df, ["bkt"], cfg).collect()
+        assert len(got) <= 2 * 50  # linear, not quadratic
+        # connectivity: union-find over emitted edges joins all 50
+        parent = list(range(50))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in got:
+            parent[find(int(r["b"]))] = find(int(r["a"]))
+        assert len({find(i) for i in range(50)}) == 1
+
+    def test_salted_bucket_stays_connected(self, spark):
+        cfg = DedupConfig(dense_cap=8, salt_threshold=20, n_salt=4)
+        rows = [(1, i) for i in range(200)] + [(2, 1000 + i) for i in range(3)]
+        df = spark.createDataFrame(rows, "bkt long, doc_id long")
+        got = pairs_from_buckets(df, ["bkt"], cfg).collect()
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent.setdefault(parent[x], parent[x])
+                x = parent[x]
+            return x
+
+        for r in got:
+            a, b = int(r["a"]), int(r["b"])
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            parent[find(b)] = find(a)
+        comps = {find(x) for x in list(parent)}
+        assert len({find(i) for i in range(200)}) == 1
+        assert len({find(1000 + i) for i in range(3)}) == 1
+        # the two buckets remain separate components
+        assert find(0) != find(1000)
+
+    def test_singleton_buckets_emit_nothing(self, spark):
+        df = spark.createDataFrame([(i, i) for i in range(10)], "bkt long, doc_id long")
+        assert pairs_from_buckets(df, ["bkt"]).count() == 0
+
+
+@pytest.mark.spark
+class TestVerify:
+    def test_verify_scores_and_exact(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog " * 10),
+                (2, "the quick brown fox jumps over the lazy dog " * 10),
+                (3, "the quick brown fox jumps over the lazy cat " * 10),
+                (4, "completely different content that shares nothing at all " * 8),
+            ],
+            "doc_id long, norm_text string",
+        )
+        pairs = spark.createDataFrame([(1, 2), (1, 3), (1, 4)], "a long, b long")
+        got = {(r["a"], r["b"]): r for r in verify_pairs(pairs, docs).collect()}
+        assert got[(1, 2)]["exact"] and got[(1, 2)]["similarity"] == 1.0
+        assert not got[(1, 3)]["exact"]
+        assert got[(1, 3)]["similarity"] > 0.9 and got[(1, 3)]["verified"]
+        assert got[(1, 4)]["similarity"] < 0.5 and not got[(1, 4)]["verified"]
