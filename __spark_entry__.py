@@ -1,38 +1,388 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)      — flagship: full near-dup detection + clustering over the
+                    sf0.001 documents table.
+queries()         — one entry per implemented operator (SURVEY.md §2).
+oracle_sql()      — DuckDB-equivalent SQL for every SQL-expressible query;
+                    non-relational ops (MinHash/LSH/SW/ANN) get the
+                    rows-only check by design.
+
+Column-name parity rule: every computed column is aliased identically in
+the Spark plan and the oracle SQL (the driver hash-compares values under
+sorted column names).
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _norm_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frizbee_spark.operators.dedup import normalize_text
+
+    return normalize_text(_docs(spark, sf_dir), "text")
+
+
+def _dedup_cfg():
+    from frizbee_spark.operators.dedup import DedupConfig
+
+    # driver documents are short (~50-550 chars): short-span settings
+    return DedupConfig(span_min_len=100, span_shingle_k=24, winnow_window=16)
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Near-dup clusters + sizes over sf0.001 documents (no checkpointing:
+    the operators run directly; NearDupPipeline adds resumable stages)."""
+    from frizbee_spark.operators.components import assign_clusters
+    from frizbee_spark.operators.dedup import (
+        compute_signatures, exact_hash_pairs, lsh_band_pairs, verify_pairs,
+    )
+
+    cfg = _dedup_cfg()
+    docs = _norm_docs(spark, SF_DEFAULT)
+    sigs = compute_signatures(docs, cfg)
+    cands = exact_hash_pairs(sigs, cfg).unionByName(
+        lsh_band_pairs(sigs, cfg)
+    ).dropDuplicates(["a", "b"])
+    edges = verify_pairs(cands, docs, cfg).filter("verified").select("a", "b")
+    clusters = assign_clusters(docs, edges)
+    sizes = clusters.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return (
+        clusters.join(sizes, "cluster_id")
+        .select("doc_id", "cluster_id", "cluster_size")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries — SQL-expressible (DuckDB-verified)
+# ---------------------------------------------------------------------------
+
+def q_exact_dup_groups(spark, sf_dir):
+    from frizbee_spark.operators.textstats import exact_dup_groups
+
+    return exact_dup_groups(_docs(spark, sf_dir))
+
+
+def q_shingle_jaccard_pairs(spark, sf_dir):
+    from frizbee_spark.operators.textstats import shingle_jaccard_pairs
+
+    return shingle_jaccard_pairs(_docs(spark, sf_dir), k=3, threshold=0.5)
+
+
+def q_near_dup_clusters(spark, sf_dir):
+    from frizbee_spark.operators.components import assign_clusters
+    from frizbee_spark.operators.textstats import shingle_jaccard_pairs
+
+    docs = _docs(spark, sf_dir)
+    jacc = shingle_jaccard_pairs(docs, k=3, threshold=0.5).select("a", "b")
+    same_md5 = (
+        docs.select(F.md5("text").alias("m"), F.col("doc_id"))
+        .alias("x")
+        .join(docs.select(F.md5("text").alias("m"), F.col("doc_id").alias("doc_id2")).alias("y"), "m")
+        .filter(F.col("doc_id") < F.col("doc_id2"))
+        .select(F.col("doc_id").alias("a"), F.col("doc_id2").alias("b"))
+    )
+    edges = jacc.unionByName(same_md5).dropDuplicates(["a", "b"])
+    return assign_clusters(docs, edges)
+
+
+def q_token_stats(spark, sf_dir):
+    from frizbee_spark.operators.textstats import token_stats
+
+    return token_stats(_docs(spark, sf_dir))
+
+
+def q_quality_score(spark, sf_dir):
+    from frizbee_spark.operators.textstats import quality_score
+
+    return quality_score(_docs(spark, sf_dir))
+
+
+def q_language_id(spark, sf_dir):
+    from frizbee_spark.operators.textstats import language_id
+
+    return language_id(_docs(spark, sf_dir))
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    from frizbee_spark.operators.textstats import doc_fingerprint
+
+    return doc_fingerprint(_docs(spark, sf_dir))
+
+
+def q_embedding_topk(spark, sf_dir):
+    from frizbee_spark.operators.similarity import brute_force_topk
+
+    return brute_force_topk(_emb(spark, sf_dir), query_ids=[0, 1, 2, 3, 4], k=5)
+
+
+# ---------------------------------------------------------------------------
+# queries — non-SQL-expressible (rows-only check)
+# ---------------------------------------------------------------------------
+
+def q_minhash_lsh_candidates(spark, sf_dir):
+    from frizbee_spark.operators.dedup import compute_signatures, lsh_band_pairs
+
+    cfg = _dedup_cfg()
+    sigs = compute_signatures(_norm_docs(spark, sf_dir), cfg)
+    return lsh_band_pairs(sigs, cfg).orderBy("a", "b")
+
+
+def q_simhash_pairs(spark, sf_dir):
+    from frizbee_spark.operators.dedup import compute_signatures, simhash_pairs
+
+    cfg = _dedup_cfg()
+    sigs = compute_signatures(_norm_docs(spark, sf_dir), cfg)
+    return simhash_pairs(sigs, cfg).orderBy("a", "b")
+
+
+def q_sw_verified_pairs(spark, sf_dir):
+    from frizbee_spark.operators.dedup import (
+        compute_signatures, exact_hash_pairs, lsh_band_pairs, verify_pairs,
+    )
+
+    cfg = _dedup_cfg()
+    docs = _norm_docs(spark, sf_dir)
+    sigs = compute_signatures(docs, cfg)
+    cands = exact_hash_pairs(sigs, cfg).unionByName(
+        lsh_band_pairs(sigs, cfg)
+    ).dropDuplicates(["a", "b"])
+    return verify_pairs(cands, docs, cfg).orderBy("a", "b")
+
+
+def q_dedup_clusters(spark, sf_dir):
+    from frizbee_spark.operators.components import assign_clusters
+    from frizbee_spark.operators.dedup import (
+        compute_signatures, exact_hash_pairs, lsh_band_pairs, verify_pairs,
+    )
+
+    cfg = _dedup_cfg()
+    docs = _norm_docs(spark, sf_dir)
+    sigs = compute_signatures(docs, cfg)
+    cands = exact_hash_pairs(sigs, cfg).unionByName(
+        lsh_band_pairs(sigs, cfg)
+    ).dropDuplicates(["a", "b"])
+    edges = verify_pairs(cands, docs, cfg).filter("verified").select("a", "b")
+    return assign_clusters(docs, edges).orderBy("doc_id")
+
+
+def q_winnow_span_pairs(spark, sf_dir):
+    from frizbee_spark.operators.dedup import winnow_span_pairs
+
+    return winnow_span_pairs(_norm_docs(spark, sf_dir), _dedup_cfg()).orderBy("a", "b")
+
+
+def q_fuzzy_match(spark, sf_dir):
+    from frizbee_spark.operators.fuzzy import fuzzy_match
+    from frizbee_spark.constants import MatchConfig
+
+    return fuzzy_match(
+        _docs(spark, sf_dir), needle="table value data",
+        text_col="text", id_cols=["doc_id"],
+        config=MatchConfig(max_typos=None), limit=100,
+    )
+
+
+def q_ann_topk(spark, sf_dir):
+    from frizbee_spark.operators.similarity import ann_topk
+
+    return ann_topk(_emb(spark, sf_dir), query_ids=[0, 1, 2, 3, 4], k=5)
+
+
+def q_embedding_near_dups(spark, sf_dir):
+    from frizbee_spark.operators.similarity import embedding_near_dup_pairs
+
+    return embedding_near_dup_pairs(_emb(spark, sf_dir), threshold=0.9).orderBy("a", "b")
+
+
+def q_media_stats(spark, sf_dir):
+    from frizbee_spark.operators.multimodal import media_stats
+
+    media = _docs(spark, sf_dir).select(
+        "doc_id", F.encode("text", "utf-8").alias("media")
+    )
+    return media_stats(media, binary_col="media").orderBy("doc_id")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "exact_dup_groups": q_exact_dup_groups,
+        "shingle_jaccard_pairs": q_shingle_jaccard_pairs,
+        "near_dup_clusters": q_near_dup_clusters,
+        "token_stats": q_token_stats,
+        "quality_score": q_quality_score,
+        "language_id": q_language_id,
+        "doc_fingerprint": q_doc_fingerprint,
+        "embedding_topk": q_embedding_topk,
+        "minhash_lsh_candidates": q_minhash_lsh_candidates,
+        "simhash_pairs": q_simhash_pairs,
+        "sw_verified_pairs": q_sw_verified_pairs,
+        "dedup_clusters": q_dedup_clusters,
+        "winnow_span_pairs": q_winnow_span_pairs,
+        "fuzzy_match": q_fuzzy_match,
+        "ann_topk": q_ann_topk,
+        "embedding_near_dups": q_embedding_near_dups,
+        "media_stats": q_media_stats,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracles
+# ---------------------------------------------------------------------------
+
+_SHINGLE_CTE = """
+toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+sh AS (
+    SELECT DISTINCT doc_id, concat_ws(' ', w[i], w[i+1], w[i+2]) AS sh
+    FROM toks, unnest(generate_series(1, greatest(len(w) - 2, 1))) AS t(i)
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+    FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+    GROUP BY 1, 2
+),
+jpairs AS (
+    SELECT a, b, round(i * 1.0 / (sa.n_sh + sb.n_sh - i), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON inter.a = sa.doc_id
+    JOIN sizes sb ON inter.b = sb.doc_id
+)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    stop_list = ", ".join(f"'{w}'" for w in
+                          ("the", "a", "of", "and", "to", "in", "table", "row", "data", "value"))
+    en = ", ".join(f"'{w}'" for w in ("the", "and", "of", "with", "for"))
+    de = ", ".join(f"'{w}'" for w in ("der", "die", "das", "und", "mit"))
+    fr = ", ".join(f"'{w}'" for w in ("le", "la", "les", "et", "avec"))
+    return {
+        "exact_dup_groups": """
+            SELECT md5(text) AS text_md5,
+                   count(*) AS dup_count,
+                   min(doc_id) AS rep_doc_id
+            FROM documents GROUP BY 1
+        """,
+        "shingle_jaccard_pairs": f"""
+            WITH {_SHINGLE_CTE}
+            SELECT a, b, jaccard FROM jpairs WHERE jaccard >= 0.5
+        """,
+        "near_dup_clusters": f"""
+            WITH RECURSIVE {_SHINGLE_CTE},
+            epairs AS (
+                SELECT x.doc_id AS a, y.doc_id AS b
+                FROM documents x JOIN documents y
+                  ON md5(x.text) = md5(y.text) AND x.doc_id < y.doc_id
+            ),
+            edges AS (
+                SELECT a, b FROM jpairs WHERE jaccard >= 0.5
+                UNION SELECT a, b FROM epairs
+            ),
+            bidir AS (
+                SELECT a AS u, b AS v FROM edges
+                UNION SELECT b AS u, a AS v FROM edges
+            ),
+            reach(u, v) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT r.u, d.v FROM reach r JOIN bidir d ON r.v = d.u
+            )
+            SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u
+        """,
+        "token_stats": """
+            WITH t AS (SELECT doc_id, trim(text) AS tt,
+                              string_split(trim(text), ' ') AS w
+                       FROM documents)
+            SELECT doc_id,
+                   len(w) AS n_tokens,
+                   len(list_distinct(w)) AS n_distinct_tokens,
+                   round((length(tt) - len(w) + 1) * 1.0 / len(w), 4) AS avg_token_len
+            FROM t
+        """,
+        "quality_score": f"""
+            WITH t AS (
+                SELECT doc_id, text,
+                       length(text) * 1.0 AS n,
+                       string_split(trim(text), ' ') AS w
+                FROM documents
+            )
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   len(w) AS n_tokens,
+                   round((n - length(regexp_replace(text, '[0-9]', '', 'g'))) / n, 4)
+                       AS digit_ratio,
+                   round((n - length(regexp_replace(text, ' ', '', 'g'))) / n, 4)
+                       AS space_ratio,
+                   round(len(list_intersect(list_distinct(w), [{stop_list}])) * 1.0
+                         / len(list_distinct(w)), 4) AS stopword_ratio,
+                   (length(text) >= 50
+                    AND (n - length(regexp_replace(text, '[0-9]', '', 'g'))) / n < 0.3
+                    AND len(w) >= 10) AS passes_quality
+            FROM t
+        """,
+        "language_id": f"""
+            WITH t AS (
+                SELECT doc_id,
+                       list_distinct(string_split(lower(trim(text)), ' ')) AS w
+                FROM documents
+            ),
+            h AS (
+                SELECT doc_id,
+                       len(list_intersect(w, [{en}])) AS hits_en,
+                       len(list_intersect(w, [{de}])) AS hits_de,
+                       len(list_intersect(w, [{fr}])) AS hits_fr
+                FROM t
+            )
+            SELECT doc_id,
+                   CASE WHEN greatest(hits_en, hits_de, hits_fr) = 0 THEN 'und'
+                        WHEN hits_en = greatest(hits_en, hits_de, hits_fr) THEN 'en'
+                        WHEN hits_de = greatest(hits_en, hits_de, hits_fr) THEN 'de'
+                        ELSE 'fr' END AS lang_pred,
+                   hits_en, hits_de, hits_fr
+            FROM h
+        """,
+        "doc_fingerprint": """
+            SELECT doc_id,
+                   (('0x' || substr(md5(text), 1, 15))::UBIGINT)::BIGINT AS fingerprint
+            FROM documents
+        """,
+        "embedding_topk": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+                FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)
+            ),
+            s AS (
+                SELECT q.query_id, e.vec_id AS neighbor_id,
+                       round(list_cosine_similarity(q.qvec, e.embedding::DOUBLE[]), 4)
+                           AS cosine
+                FROM q, embeddings e
+                WHERE e.vec_id != q.query_id
+            ),
+            r AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+                ) AS rn
+                FROM s
+            )
+            SELECT query_id, neighbor_id, cosine FROM r WHERE rn <= 5
+        """,
+    }

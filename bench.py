@@ -1,0 +1,108 @@
+"""Benchmark harness — prints ONE JSON line.
+
+Headline: end-to-end near-duplicate pipeline (the north-rule workload) on
+the deterministic synthetic web corpus scaled to the SF, reporting wall
+time, docs/sec, and dup-pair recall vs ground truth. Secondary: per-query
+wall times for the driver-contract queries over $SPARK_GRAFT_SF_DIR.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32),
+     BENCH_CORPUS_DOCS (override corpus size),
+     BENCH_SKIP_QUERIES=1 (headline only, used by bench_scaling.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = _sf_of(sf_dir)
+    n_docs = int(os.environ.get("BENCH_CORPUS_DOCS", str(max(200, int(sf * 200_000)))))
+
+    from frizbee_spark.pipeline import NearDupPipeline, PipelineConfig
+    from frizbee_spark.session import get_spark
+    from frizbee_spark.sources.corpus import write_corpus
+
+    corpus_dir = os.path.join(
+        tempfile.gettempdir(), f"frizbee_bench_corpus_{n_docs}"
+    )
+    write_corpus(corpus_dir, n_docs)  # cached across runs
+
+    spark = get_spark("frizbee-bench", cores=cpus)
+    timings: dict[str, float] = {}
+
+    # --- headline: dedup pipeline end-to-end (fresh workdir, no resume) ---
+    workdir = tempfile.mkdtemp(prefix="frizbee_bench_work_")
+    try:
+        t0 = time.monotonic()
+        pipe = NearDupPipeline(spark, PipelineConfig(workdir=workdir))
+        out = pipe.run(input_path=corpus_dir)
+        out["clusters"].count()  # materialization barrier
+        wall = time.monotonic() - t0
+        timings["dedup_pipeline_e2e"] = round(wall, 3)
+
+        # recall vs ground truth (not counted in the timing)
+        from pyspark.sql import functions as F
+
+        truth = spark.read.parquet(os.path.join(corpus_dir, "truth_pairs.parquet"))
+        url2c = (
+            out["documents"].select("url", "doc_id")
+            .join(out["clusters"], "doc_id").select("url", "cluster_id")
+        )
+        t = (
+            truth.filter(F.col("kind").isin("exact", "near"))
+            .join(url2c.withColumnsRenamed({"url": "a_url", "cluster_id": "ca"}), "a_url")
+            .join(url2c.withColumnsRenamed({"url": "b_url", "cluster_id": "cb"}), "b_url")
+        )
+        tot = t.count()
+        hit = t.filter("ca = cb").count()
+        recall = hit / tot if tot else 1.0
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+    # --- secondary: contract queries on the driver tables ---
+    if os.environ.get("BENCH_SKIP_QUERIES") != "1":
+        import __spark_entry__ as E
+
+        for name in (
+            "dedup_clusters", "minhash_lsh_candidates", "sw_verified_pairs",
+            "shingle_jaccard_pairs", "near_dup_clusters", "token_stats",
+            "quality_score", "embedding_topk", "ann_topk", "fuzzy_match",
+        ):
+            fn = E.queries()[name]
+            t0 = time.monotonic()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.monotonic() - t0, 3)
+
+    spark.stop()
+    print(json.dumps({
+        "metric": "dedup_docs_per_sec",
+        "value": round(n_docs / timings["dedup_pipeline_e2e"], 2),
+        "unit": "docs/sec",
+        "sf": sf,
+        "queries": timings,
+        "corpus_docs": n_docs,
+        "dedup_wall_sec": timings["dedup_pipeline_e2e"],
+        "dup_pair_recall": round(recall, 4),
+        "cpus": cpus,
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,192 @@
+"""Embedding similarity search: exact brute-force top-k + LSH-bucketed ANN.
+
+Exact path is pure Catalyst (higher-order functions over array<float> —
+JVM-side, codegen) and serves as both the small-scale baseline and the
+pytest/DuckDB oracle. The ANN path buckets vectors with deterministic
+random-hyperplane signatures (sign-LSH) so the candidate set per query is
+a bucket join, not a full scan — the same prefilter-then-verify shape as
+the dedup cascade (/root/reference/README.md:49-52 precedent).
+
+Scale notes: brute-force is O(Q x N) — fine for Q small (broadcast the
+queries), impossible for N x N. The ANN path shuffles each vector T times
+(T tables) keyed by a 16-bit bucket; candidate verification is a bucket-
+local cosine in a vectorized Arrow UDF.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from ..functions.hashing import splitmix64
+
+
+def _cosine_expr(a: str, b: str):
+    dot = F.aggregate(
+        F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(F.aggregate(F.col(a), F.lit(0.0), lambda acc, v: acc + v * v))
+    nb = F.sqrt(F.aggregate(F.col(b), F.lit(0.0), lambda acc, v: acc + v * v))
+    return dot / (na * nb)
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k of every query id against the whole table.
+
+    The query side is tiny -> explicit broadcast; the scan side streams.
+    Deterministic tie-break: cosine desc, then neighbor id asc.
+    """
+    base = embeddings.select(F.col(id_col).alias("vec_id"),
+                             F.col(vec_col).cast("array<double>").alias("vec"))
+    queries = base.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    scored = (
+        base.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", "vec_id",
+            F.round(_cosine_expr("qvec", "vec"), 4).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cosine")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, table: int) -> np.ndarray:
+    """Deterministic pseudo-gaussian hyperplanes from splitmix64 bits —
+    no RNG state, identical on every executor."""
+    idx = np.arange(dim * n_planes, dtype=np.uint64) + np.uint64(table * 1_000_003)
+    u = splitmix64(idx).astype(np.float64) / 2.0**64  # uniform [0,1)
+    with np.errstate(over="ignore"):
+        idx2 = idx + np.uint64(0x9E37)
+    v = splitmix64(idx2).astype(np.float64) / 2.0**64
+    # Box-Muller
+    g = np.sqrt(-2.0 * np.log(np.clip(u, 1e-12, None))) * np.cos(2 * np.pi * v)
+    return g.reshape(n_planes, dim)
+
+
+def lsh_bucket_ids(
+    embeddings: DataFrame,
+    dim: int,
+    n_planes: int = 14,
+    n_tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, table_id, bucket) — sign-LSH signatures, one row per table.
+
+    Vectorized: each Arrow batch is one (batch x dim) @ (dim x planes)
+    matmul per table.
+    """
+    planes = [_hyperplanes(dim, n_planes, t) for t in range(n_tables)]
+    work = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+
+    def run(batches):
+        for pdf in batches:
+            M = np.array(pdf["vec"].tolist(), dtype=np.float64)
+            ids = pdf["vec_id"].to_numpy()
+            outs = []
+            for t, P in enumerate(planes):
+                bits = (M @ P.T) > 0
+                bucket = (bits << np.arange(n_planes)).sum(axis=1).astype(np.int64)
+                outs.append(pd.DataFrame(
+                    {"vec_id": ids, "table_id": t, "bucket": bucket}
+                ))
+            yield pd.concat(outs, ignore_index=True)
+
+    return work.mapInPandas(run, schema="vec_id long, table_id int, bucket long")
+
+
+def ann_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_planes: int = 8,
+    n_tables: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: union of bucket-mates across T sign-LSH tables,
+    exact cosine on the candidates only. Recall grows with n_tables and
+    shrinks with n_planes; candidate count per query ~= T * bucket
+    occupancy, not N. Sign-LSH recall depends on neighbor cosine: high
+    (>0.99 with defaults) when true neighbors have cos >= 0.8, poor on
+    near-orthogonal "neighbors" (cos ~ 0.4) — no sublinear method does
+    well there; fall back to brute_force_topk for unstructured data."""
+    dim = len(
+        embeddings.select(vec_col).limit(1).collect()[0][0]
+    )
+    buckets = lsh_bucket_ids(embeddings, dim, n_planes, n_tables, id_col, vec_col)
+    qb = buckets.filter(F.col("vec_id").isin(query_ids)).withColumnsRenamed(
+        {"vec_id": "query_id"}
+    )
+    cands = (
+        buckets.join(F.broadcast(qb), ["table_id", "bucket"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    base = embeddings.select(F.col(id_col).alias("vec_id"),
+                             F.col(vec_col).cast("array<double>").alias("vec"))
+    queries = base.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    scored = (
+        cands.join(base, "vec_id")
+        .join(F.broadcast(queries), "query_id")
+        .select("query_id", "vec_id",
+                F.round(_cosine_expr("qvec", "vec"), 4).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cosine")
+    )
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    n_tables: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via sign-LSH buckets:
+    candidates = same (table, bucket), verified by exact cosine >= t.
+    The embedding-space twin of the MinHash-LSH text path."""
+    dim = len(embeddings.select(vec_col).limit(1).collect()[0][0])
+    buckets = lsh_bucket_ids(embeddings, dim, n_planes, n_tables, id_col, vec_col)
+    pairs = (
+        buckets.alias("x")
+        .join(buckets.alias("y"),
+              (F.col("x.table_id") == F.col("y.table_id"))
+              & (F.col("x.bucket") == F.col("y.bucket"))
+              & (F.col("x.vec_id") < F.col("y.vec_id")))
+        .select(F.col("x.vec_id").alias("a"), F.col("y.vec_id").alias("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    base = embeddings.select(F.col(id_col).alias("vec_id"),
+                             F.col(vec_col).cast("array<double>").alias("vec"))
+    return (
+        pairs.join(base.withColumnsRenamed({"vec_id": "a", "vec": "va"}), "a")
+        .join(base.withColumnsRenamed({"vec_id": "b", "vec": "vb"}), "b")
+        .select("a", "b", F.round(_cosine_expr("va", "vb"), 4).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

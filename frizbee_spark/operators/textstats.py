@@ -1,0 +1,142 @@
+"""Text-analysis operators for training-data pipelines — all Catalyst.
+
+Every operator here compiles to built-in Spark SQL expressions (JVM-side,
+whole-stage codegen, no Python), so each has an exact ANSI-SQL oracle in
+__spark_entry__.oracle_sql(). These are the language-ID / quality /
+token-count / fingerprint components a 100 TB curation pipeline runs
+before dedup; they share the scan with the signature stage (column
+pruning keeps the parquet read narrow).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# fixed marker lists (deterministic; mirrored verbatim in the SQL oracles)
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "table", "row", "data", "value")
+LANG_MARKERS = {
+    "en": ("the", "and", "of", "with", "for"),
+    "de": ("der", "die", "das", "und", "mit"),
+    "fr": ("le", "la", "les", "et", "avec"),
+}
+
+
+def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Whitespace token counting + distinct counts + mean token length."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    return df.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
+        F.round(
+            (F.length(F.trim(F.col(text_col))) - F.size(toks) + 1)
+            / F.size(toks), 4
+        ).alias("avg_token_len"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Cheap quality heuristics: length, alpha/digit/space ratios,
+    stopword ratio. Mirrors the reference's "cheap gate before the
+    expensive kernel" philosophy (prefilter, src/prefilter/mod.rs:1-12)
+    applied to corpus curation."""
+    t = F.col(text_col)
+    n = F.length(t).cast("double")
+    toks = F.split(F.trim(t), r"\s+")
+    stop_hits = F.size(F.array_intersect(F.array_distinct(toks),
+                                         F.array(*[F.lit(w) for w in STOPWORDS])))
+    digits = n - F.length(F.regexp_replace(t, r"[0-9]", ""))
+    spaces = n - F.length(F.regexp_replace(t, r" ", ""))
+    return df.select(
+        F.col(id_col),
+        F.length(t).cast("long").alias("n_chars"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.round(digits / n, 4).alias("digit_ratio"),
+        F.round(spaces / n, 4).alias("space_ratio"),
+        F.round(stop_hits / F.size(F.array_distinct(toks)), 4).alias("stopword_ratio"),
+        (
+            (F.length(t) >= 50)
+            & (digits / n < 0.3)
+            & (F.size(toks) >= 10)
+        ).alias("passes_quality"),
+    )
+
+
+def language_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Marker-word language-ID heuristic: count per-language marker hits
+    over distinct lowercase tokens; argmax with deterministic tie-break
+    (en > de > fr), 'und' when nothing matches."""
+    toks = F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+    hits = {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
+        for lang, words in LANG_MARKERS.items()
+    }
+    best = F.greatest(*hits.values())
+    pred = (
+        F.when(best == 0, "und")
+        .when(hits["en"] == best, "en")
+        .when(hits["de"] == best, "de")
+        .otherwise("fr")
+    )
+    return df.select(F.col(id_col), pred.alias("lang_pred"),
+                     *[hits[l].cast("long").alias(f"hits_{l}") for l in ("en", "de", "fr")])
+
+
+def doc_fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit-ish content fingerprint: first 15 hex chars of md5 as bigint
+    (portable across engines — the SQL oracle computes the identical
+    value). Used for grouping byte-identical docs without carrying text."""
+    fp = F.conv(F.substring(F.md5(F.col(text_col)), 1, 15), 16, 10).cast("long")
+    return df.select(F.col(id_col), fp.alias("fingerprint"))
+
+
+def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Hash-groupBy exact dedup: one row per distinct text with its
+    duplicate count and representative (min id). Map-side partial
+    aggregation makes this one shuffle of (hash, id) pairs at scale."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("text_md5"), F.col(id_col))
+        .groupBy("text_md5")
+        .agg(F.count("*").alias("dup_count"), F.min(id_col).alias("rep_doc_id"))
+    )
+
+
+def shingle_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact k-word-shingle Jaccard over all pairs — the brute-force
+    n-gram dedup operator (and the oracle MinHash-LSH approximates).
+
+    Plan shape: explode distinct shingles -> self-equi-join on shingle
+    (Catalyst sort-merge; the shingle key distributes the quadratic work)
+    -> pair-count aggregate -> join per-doc set sizes. At 100 TB this
+    exact variant is only run on samples / bucket-candidates; the LSH
+    path replaces the all-pairs join.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        )
+    )
+    sh = df.select(F.col(id_col).alias("doc_id"), F.explode(shingles).alias("sh"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        sh.alias("x")
+        .join(sh.alias("y"), (F.col("x.sh") == F.col("y.sh"))
+              & (F.col("x.doc_id") < F.col("y.doc_id")))
+        .groupBy(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .agg(F.count("*").alias("i"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({"doc_id": "a", "n_sh": "na"}), "a")
+        .join(sizes.withColumnsRenamed({"doc_id": "b", "n_sh": "nb"}), "b")
+        .withColumn("jaccard", F.round(F.col("i") / (F.col("na") + F.col("nb") - F.col("i")), 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )

@@ -66,6 +66,10 @@ class PipelineConfig:
     enable_span: bool = True
     check_extraction: bool = True   # assert extracted_text == text per url
     check_id_collisions: bool = True
+    doc_partitions: int | None = None   # repartition docs at the stage
+                                        # boundary (default 2x parallelism);
+                                        # single-file inputs otherwise leave
+                                        # every UDF stage on one task
     pair_partitions: int | None = None  # repartition before verify
 
 
@@ -159,29 +163,46 @@ class NearDupPipeline:
             work = extract_text(src) if has_html else src.withColumn(
                 "extracted_text", F.col("text")
             )
-            if cfg.check_extraction and "text" in src.columns:
-                bad = work.filter(F.col("extracted_text") != F.col("text")).count()
-                if bad:
-                    raise AssertionError(
-                        f"extraction broke byte-identity for {bad} urls"
-                    )
+            if cfg.check_extraction and "text" in src.columns and has_html:
+                work = work.withColumn(
+                    "_extract_ok", F.col("extracted_text") == F.col("text")
+                )
             work = normalize_text(work, "extracted_text")
             id_src = "url" if "url" in src.columns else "doc_id"
             if id_src == "url":
                 work = with_doc_id(work, "url")
-            if cfg.check_id_collisions:
-                c = work.agg(
-                    F.count("*").alias("n"),
-                    F.countDistinct("doc_id").alias("d"),
-                ).collect()[0]
-                if c["n"] != c["d"]:
-                    raise AssertionError(
-                        f"doc_id collision: {c['n']} rows, {c['d']} distinct ids"
-                    )
-            keep = [c for c in ("url", "warc_ts", "text", "lang") if c in work.columns]
-            return work.select("doc_id", *keep, "norm_text")
+            keep = [c for c in ("url", "warc_ts", "text", "lang", "_extract_ok")
+                    if c in work.columns]
+            out_df = work.select("doc_id", *keep, "norm_text")
+            # explicit stage-boundary repartition: deterministic hash
+            # distribution on doc_id; sized so each downstream Arrow task
+            # gets a full batch of work
+            n_parts = cfg.doc_partitions or max(
+                self.spark.sparkContext.defaultParallelism * 2, 8
+            )
+            return out_df.repartition(n_parts, "doc_id")
 
         documents = self._stage("documents", s_documents)
+        # invariant checks run on the checkpointed (parallel) table — one
+        # combined aggregation instead of serial scans of the raw input
+        if cfg.check_extraction or cfg.check_id_collisions:
+            aggs = [F.count("*").alias("n"), F.countDistinct("doc_id").alias("d")]
+            if "_extract_ok" in documents.columns:
+                aggs.append(
+                    F.sum(F.when(~F.col("_extract_ok"), 1).otherwise(0)).alias("bad")
+                )
+            c = documents.agg(*aggs).collect()[0]
+            if "_extract_ok" in documents.columns and cfg.check_extraction and c["bad"]:
+                self.store.invalidate("documents")
+                raise AssertionError(
+                    f"extraction broke byte-identity for {c['bad']} urls"
+                )
+            if cfg.check_id_collisions and c["n"] != c["d"]:
+                self.store.invalidate("documents")
+                raise AssertionError(
+                    f"doc_id collision: {c['n']} rows, {c['d']} distinct ids"
+                )
+            documents = documents.drop("_extract_ok")
         out["documents"] = documents
         if until == "documents":
             self.flush_metrics()

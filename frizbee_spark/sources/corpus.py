@@ -268,7 +268,9 @@ def write_corpus(out_dir: str, n_rows: int, overwrite: bool = False) -> str:
         return out_dir
     os.makedirs(out_dir, exist_ok=True)
     docs, pairs, clusters = generate_corpus(n_rows)
-    pq.write_table(docs, os.path.join(out_dir, "documents.parquet"))
+    # small row groups keep the file splittable across Spark input tasks
+    pq.write_table(docs, os.path.join(out_dir, "documents.parquet"),
+                   row_group_size=2048)
     pq.write_table(pairs, os.path.join(out_dir, "truth_pairs.parquet"))
     pq.write_table(clusters, os.path.join(out_dir, "truth_clusters.parquet"))
     open(marker, "w").close()

@@ -75,9 +75,11 @@ class TestPipelineEndToEnd:
         for r in rows:
             by_pred.setdefault(r["cluster_id"], set()).add(r["truth_cluster"])
         # boilerplate/span docs may merge across truth clusters by design;
-        # restrict the check to clusters made only of exact/near/unique docs
-        urls = {r["url"]: r for r in rows}
-        order = docs.select("url").toPandas()["url"].tolist()
+        # restrict the check to clusters made only of exact/near/unique docs.
+        # class_of is keyed on *generation* row order — read it from the
+        # source parquet (the pipeline output is repartitioned).
+        src = spark.read.parquet(os.path.join(corpus_dir, "documents.parquet"))
+        order = [r["url"] for r in src.collect()]
         row_of = {u: i for i, u in enumerate(order)}
         for pred, truths in by_pred.items():
             members = [r["url"] for r in rows if r["cluster_id"] == pred]

@@ -1,0 +1,93 @@
+"""Embedding similarity tests: brute-force exactness vs NumPy, ANN recall
+on *clustered* vectors (the regime sign-LSH is designed for)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from frizbee_spark.operators.similarity import (
+    ann_topk,
+    brute_force_topk,
+    embedding_near_dup_pairs,
+)
+
+
+def _clustered_vectors(n=200, dim=32, n_clusters=20, noise=0.05, seed=5):
+    # noise is per-coordinate; total perturbation |noise*g| ~ noise*sqrt(dim)
+    # = 0.28 against unit centers -> same-cluster cosine ~ 0.96, the regime
+    # sign-LSH is built for (near-dup embeddings)
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    assign = rng.integers(0, n_clusters, size=n)
+    vecs = centers[assign] + noise * rng.normal(size=(n, dim))
+    return vecs, assign
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    vecs, _ = _clustered_vectors()
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+@pytest.mark.spark
+class TestBruteForce:
+    def test_matches_numpy(self, spark, emb):
+        vecs, _ = _clustered_vectors()
+        M = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        S = M @ M.T
+        np.fill_diagonal(S, -2)
+        got = brute_force_topk(emb, query_ids=[0, 7], k=3).collect()
+        by_q = {}
+        for r in got:
+            by_q.setdefault(r["query_id"], []).append((r["neighbor_id"], r["cosine"]))
+        for q in (0, 7):
+            want = np.argsort(-np.round(S[q], 4), kind="stable")[:3]
+            got_ids = [n for n, _ in by_q[q]]
+            # compare cosine values (id ties can legitimately reorder)
+            want_cos = sorted(np.round(S[q][want], 4), reverse=True)
+            got_cos = sorted((c for _, c in by_q[q]), reverse=True)
+            assert np.allclose(got_cos, want_cos, atol=2e-4)
+            assert len(got_ids) == 3
+
+    def test_deterministic(self, emb):
+        a = sorted(map(tuple, brute_force_topk(emb, [3], 5).collect()))
+        b = sorted(map(tuple, brute_force_topk(emb, [3], 5).collect()))
+        assert a == b
+
+
+@pytest.mark.spark
+class TestAnn:
+    def test_recall_on_clustered_data(self, emb):
+        queries = list(range(10))
+        exact = brute_force_topk(emb, queries, 3).collect()
+        approx = ann_topk(emb, queries, 3, n_planes=8, n_tables=16).collect()
+        exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+        approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+        recall = len(exact_set & approx_set) / len(exact_set)
+        assert recall >= 0.85, f"ANN recall {recall}"
+
+    def test_candidates_sublinear(self, emb):
+        # with 8 planes / 200 vecs, bucket join visits far fewer than all
+        from frizbee_spark.operators.similarity import lsh_bucket_ids
+
+        b = lsh_bucket_ids(emb, dim=32, n_planes=8, n_tables=1)
+        sizes = b.groupBy("table_id", "bucket").count().collect()
+        assert max(r["count"] for r in sizes) < 100
+
+
+@pytest.mark.spark
+class TestNearDupPairs:
+    def test_finds_planted_duplicates(self, spark):
+        rng = np.random.default_rng(17)
+        base = rng.normal(size=(50, 32))
+        dup = base[:10] + 0.01 * rng.normal(size=(10, 32))  # cos ~ 0.9999
+        vecs = np.vstack([base, dup])
+        rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        got = embedding_near_dup_pairs(df, threshold=0.99,
+                                       n_planes=10, n_tables=8).collect()
+        found = {(r["a"], r["b"]) for r in got}
+        want = {(i, 50 + i) for i in range(10)}
+        assert len(want & found) >= 9  # >= 90% of planted dups

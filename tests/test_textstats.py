@@ -1,0 +1,75 @@
+"""Text-analysis operator tests (small literal frames, hand-checked)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from frizbee_spark.operators.textstats import (
+    doc_fingerprint,
+    exact_dup_groups,
+    language_id,
+    quality_score,
+    shingle_jaccard_pairs,
+    token_stats,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "der hund und die katze mit dem ball"),
+            (4, "le chat et la souris avec le fromage"),
+            (5, "xyzzy plugh 12345 67890"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+@pytest.mark.spark
+class TestTextStats:
+    def test_token_stats(self, docs):
+        got = {r["doc_id"]: r for r in token_stats(docs).collect()}
+        assert got[1]["n_tokens"] == 9
+        assert got[1]["n_distinct_tokens"] == 8  # 'the' twice
+        assert got[5]["n_tokens"] == 4
+
+    def test_exact_dup_groups(self, docs):
+        got = {r["text_md5"]: r for r in exact_dup_groups(docs).collect()}
+        dups = [r for r in got.values() if r["dup_count"] > 1]
+        assert len(dups) == 1
+        assert dups[0]["rep_doc_id"] == 1 and dups[0]["dup_count"] == 2
+
+    def test_language_id(self, docs):
+        got = {r["doc_id"]: r["lang_pred"] for r in language_id(docs).collect()}
+        assert got[1] == "en"
+        assert got[3] == "de"
+        assert got[4] == "fr"
+        assert got[5] == "und"
+
+    def test_quality_score(self, docs):
+        got = {r["doc_id"]: r for r in quality_score(docs).collect()}
+        assert got[1]["passes_quality"] is False or got[1]["n_tokens"] == 9
+        assert got[5]["digit_ratio"] > 0.4
+        assert not got[5]["passes_quality"]
+
+    def test_fingerprint_matches_dups(self, docs):
+        got = {r["doc_id"]: r["fingerprint"] for r in doc_fingerprint(docs).collect()}
+        assert got[1] == got[2]
+        assert got[1] != got[3]
+        assert all(v >= 0 for v in got.values())
+
+    def test_shingle_jaccard(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "a b c d e f g h"),
+                (2, "a b c d e f g x"),   # shares 5 of the 3-gram shingles
+                (3, "q w e r t y u i"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {(r["a"], r["b"]): r["jaccard"]
+               for r in shingle_jaccard_pairs(df, k=3, threshold=0.1).collect()}
+        assert (1, 2) in got and got[(1, 2)] == pytest.approx(5 / 7, abs=1e-4)
+        assert (1, 3) not in got
