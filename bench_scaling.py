@@ -1,0 +1,101 @@
+"""Cluster-size scaling evidence (north rule: throughput efficiency >= 0.8
+from N to 4N executors).
+
+Sandbox stand-in: no real multi-executor cluster exists here, so the same
+job runs at two parallelism levels — local[8] (N) and local[32] (4N) —
+on the SAME input corpus, each in a fresh subprocess (fresh JVM, fresh
+workdir). Strong scaling: efficiency = throughput_4N / (4 * throughput_N).
+
+Writes/updates the "## Scaling" section of BENCH.md and prints one JSON
+line. Usage: python bench_scaling.py [corpus_docs]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import subprocess
+import sys
+
+
+def run_once(cpus: int, docs: int) -> dict:
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_CPUS=str(cpus),
+        BENCH_CORPUS_DOCS=str(docs),
+        BENCH_SKIP_QUERIES="1",
+        SPARK_GRAFT_SF_DIR=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+    )
+    # pin the whole process tree (JVM + python workers) to exactly `cpus`
+    # CPUs: local[N] alone caps task slots but lets JVM shuffle/GC/IO
+    # threads spill onto every core, which would flatter the small run.
+    # A real N-core executor has N cores for *everything* — taskset is the
+    # honest stand-in.
+    cmd = [sys.executable, "bench.py"]
+    if shutil.which("taskset"):
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+    out = subprocess.run(
+        cmd, env=env, capture_output=True, text=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    line = out.stdout.strip().splitlines()[-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    docs = int(sys.argv[1]) if len(sys.argv) > 1 else 60_000
+    n_small, n_big = 8, 32
+
+    # warm the corpus cache once so neither timed run pays generation
+    from frizbee_spark.sources.corpus import write_corpus
+    import tempfile
+
+    write_corpus(os.path.join(tempfile.gettempdir(),
+                              f"frizbee_bench_corpus_{docs}"), docs)
+
+    r_small = run_once(n_small, docs)
+    r_big = run_once(n_big, docs)
+    tp_small, tp_big = r_small["value"], r_big["value"]
+    eff = tp_big / (tp_small * (n_big / n_small))
+
+    result = {
+        "metric": "scaling_efficiency_Nx4",
+        "value": round(eff, 4),
+        "unit": "fraction",
+        "corpus_docs": docs,
+        "throughput_docs_per_sec": {f"local[{n_small}]": tp_small,
+                                    f"local[{n_big}]": tp_big},
+        "wall_sec": {f"local[{n_small}]": r_small["dedup_wall_sec"],
+                     f"local[{n_big}]": r_big["dedup_wall_sec"]},
+        "recall": {f"local[{n_small}]": r_small["dup_pair_recall"],
+                   f"local[{n_big}]": r_big["dup_pair_recall"]},
+    }
+    print(json.dumps(result))
+
+    section = f"""## Scaling (local[{n_small}] vs local[{n_big}], same input)
+
+Sandbox stand-in for N vs 4N executors (no real cluster here): identical
+end-to-end dedup job, same {docs:,}-doc corpus, fresh JVM + workdir per run.
+
+| parallelism | wall (s) | docs/sec | recall |
+|---|---|---|---|
+| local[{n_small}] (N) | {r_small['dedup_wall_sec']} | {tp_small} | {r_small['dup_pair_recall']} |
+| local[{n_big}] (4N) | {r_big['dedup_wall_sec']} | {tp_big} | {r_big['dup_pair_recall']} |
+
+**Strong-scaling efficiency N->4N: {eff:.3f}** (target >= 0.8; clusters
+produced by the two runs are identical by construction — all stages use
+deterministic hashes and order-insensitive aggregations).
+"""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md")
+    existing = open(path).read() if os.path.exists(path) else "# BENCH\n\n"
+    if "## Scaling" in existing:
+        existing = re.sub(r"## Scaling.*?(?=\n## |\Z)", section, existing, flags=re.S)
+    else:
+        existing = existing.rstrip() + "\n\n" + section
+    open(path, "w").write(existing)
+
+
+if __name__ == "__main__":
+    main()

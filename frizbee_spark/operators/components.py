@@ -75,12 +75,14 @@ def connected_components(
     """
     cur = _canon(edges)
     if use_local_checkpoint:
-        cur = cur.localCheckpoint(eager=True)
+        # lazy local checkpoint: materialized by the checksum collect right
+        # after — one action per round instead of two
+        cur = cur.localCheckpoint(eager=False)
     prev_sig = _edge_checksum(cur)
     for _ in range(max_iter):
         nxt = _canon(_small_star(_large_star(cur)))
         if use_local_checkpoint:
-            nxt = nxt.localCheckpoint(eager=True)
+            nxt = nxt.localCheckpoint(eager=False)
         sig = _edge_checksum(nxt)
         cur = nxt
         if sig == prev_sig:

@@ -59,6 +59,15 @@ class DedupConfig:
     sim_threshold: float = 0.80  # SW normalized-similarity accept threshold
     band_radius: int = 64        # SW wavefront band half-width
     hamming_max: int = 3         # SimHash Hamming acceptance radius
+    verify_hamming_reject: int = 20  # pairs with SimHash Hamming above this
+                                 # are rejected before the SW kernel (cheap
+                                 # prefilter; near-dups at J>=0.8 sit at
+                                 # Hamming ~6, chance pairs at ~32)
+    hamming_gate_min_bytes: int = 1024  # the reject gate only fires when
+                                 # BOTH docs exceed this: few-shingle docs
+                                 # have noisy SimHash (a 5-edit near-dup of
+                                 # a 200-byte doc can exceed the radius),
+                                 # and SW on short docs is cheap anyway
     dense_cap: int = 32          # bucket size up to which all pairs are emitted
     salt_threshold: int = 5000   # bucket size above which salting kicks in
     n_salt: int = 64             # salt fan-out for hot buckets
@@ -256,6 +265,64 @@ def lsh_band_pairs(signatures: DataFrame, cfg: DedupConfig = DEFAULT_DEDUP) -> D
     return pairs_from_buckets(b, ["band_id", "band_key"], cfg)
 
 
+def unified_candidate_pairs(
+    signatures: DataFrame, cfg: DedupConfig = DEFAULT_DEDUP,
+    include_simhash: bool = True,
+) -> DataFrame:
+    """All three candidate sources through ONE pair-generation pass.
+
+    The exact-hash, MinHash-LSH-band, and SimHash-chunk bucket tables are
+    unioned under a single 64-bit bucket key (xxhash64 of source tag +
+    bucket coordinates) before pair generation, so the sizes/join/window
+    machinery of pairs_from_buckets runs once instead of three times —
+    ~3x fewer shuffles and scheduler stages than generating per-source
+    pairs and unioning afterwards. Source-specific post-filters (SimHash
+    Hamming) are applied downstream by verify_pairs' reject gate, which
+    every pair passes through anyway.
+    """
+    exact_b = signatures.select(
+        F.xxhash64(F.lit("exact"), "text_hash", "n_bytes").alias("bkey"), "doc_id"
+    )
+    lsh_b = signatures.select(
+        F.posexplode("band_keys").alias("band_id", "band_key"), "doc_id"
+    ).select(F.xxhash64(F.lit("lsh"), "band_id", "band_key").alias("bkey"), "doc_id")
+    sim_b = signatures.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.xxhash64(
+                    F.lit("simhash"), F.lit(i),
+                    F.shiftrightunsigned("simhash", 16 * i) % F.lit(65536),
+                )
+                for i in range(4)
+            ])
+        ).alias("bkey"),
+    ).select("bkey", "doc_id")
+    buckets = exact_b.unionByName(lsh_b)
+    if include_simhash:
+        buckets = buckets.unionByName(sim_b)
+    raw = pairs_from_buckets(buckets, ["bkey"], cfg)
+    # drop SimHash-chunk chance collisions NOW (one 8-byte join) so they
+    # never reach a checkpoint or the text join: keep a pair iff it is an
+    # exact dup or within the Hamming acceptance ball. This is the same
+    # gate verify_pairs applies; doing it here keeps the candidate table
+    # ~3x smaller.
+    s = signatures.select("doc_id", "text_hash", "simhash", "n_bytes")
+    return (
+        raw.join(s.withColumnsRenamed(
+            {"doc_id": "a", "text_hash": "_ha", "simhash": "_sa", "n_bytes": "_na"}), "a")
+        .join(s.withColumnsRenamed(
+            {"doc_id": "b", "text_hash": "_hb", "simhash": "_sb", "n_bytes": "_nb"}), "b")
+        .filter(
+            (F.col("_ha") == F.col("_hb"))
+            | (F.least("_na", "_nb") < cfg.hamming_gate_min_bytes)
+            | (F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb")))
+               <= cfg.verify_hamming_reject)
+        )
+        .select("a", "b")
+    )
+
+
 def simhash_pairs(signatures: DataFrame, cfg: DedupConfig = DEFAULT_DEDUP) -> DataFrame:
     """SimHash candidate edges: equal 16-bit chunk, Hamming(sim) <= k.
 
@@ -336,23 +403,71 @@ def verify_pairs(
     id_col: str = "doc_id",
     text_col: str = "norm_text",
     num_partitions: int | None = None,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate pairs -> (a, b, score, similarity, exact, verified).
 
-    Two equi-joins attach both texts (AQE picks broadcast vs sort-merge;
-    at 10^12-doc scale these are sort-merge joins co-partitioned on the
-    id — Iceberg bucket partitioning on doc_id makes them storage-
-    partitioned). The UDF batch is the SIMD lane block: exact pairs short-
-    circuit on hash equality (survey A4), the rest run the banded wavefront
-    sub-batched by the length ladder (survey B1) to minimize padding waste.
+    With ``signatures`` (the compute_signatures output), two cheap
+    JVM-side gates run BEFORE the text join — the reference's
+    prefilter-then-verify discipline (/root/reference/README.md:49-52)
+    applied to pair verification:
+
+      1. exact gate: equal (text_hash, n_bytes) -> verified, sim 1.0 —
+         no text ever shuffled for exact duplicates (survey A4);
+      2. SimHash reject gate: Hamming(simhash) > verify_hamming_reject ->
+         rejected — kills LSH chance collisions for the cost of an 8-byte
+         join payload + bit_count (survey F7). Near-dups at J>=0.8 sit at
+         Hamming ~6 so the gate has ~zero false rejects.
+
+    Only survivors join the (heavy) text columns and run the banded
+    wavefront, sub-batched by the length ladder (survey B1/K1/K2). The
+    text joins are AQE broadcast/sort-merge; at 10^12-doc scale they are
+    storage-partitioned joins on Iceberg doc_id buckets.
     """
     d = docs.select(
         F.col(id_col).alias("doc_id"),
         F.col(text_col).alias("_t"),
         F.xxhash64(F.col(text_col)).alias("_h"),
     )
+    pre_exact = None
+    pre_reject = None
+    work = pairs.select("a", "b")
+    if signatures is not None:
+        s = signatures.select("doc_id", "text_hash", "simhash", "n_bytes")
+        tagged = (
+            work.join(s.withColumnsRenamed(
+                {"doc_id": "a", "text_hash": "_ha", "simhash": "_sa",
+                 "n_bytes": "_na"}), "a")
+            .join(s.withColumnsRenamed(
+                {"doc_id": "b", "text_hash": "_hb", "simhash": "_sb",
+                 "n_bytes": "_nb"}), "b")
+            .withColumn("_exact", F.col("_ha") == F.col("_hb"))
+            .withColumn(
+                "_rej",
+                ~F.col("_exact")
+                & (F.least("_na", "_nb") >= cfg.hamming_gate_min_bytes)
+                & (F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb")))
+                   > cfg.verify_hamming_reject),
+            )
+        )
+        pre_exact = tagged.filter("_exact").select(
+            "a", "b",
+            F.lit(0).cast("long").alias("score"),
+            F.lit(1.0).alias("similarity"),
+            F.lit(True).alias("exact"),
+            F.lit(True).alias("verified"),
+        )
+        pre_reject = tagged.filter("_rej").select(
+            "a", "b",
+            F.lit(0).cast("long").alias("score"),
+            F.lit(0.0).alias("similarity"),
+            F.lit(False).alias("exact"),
+            F.lit(False).alias("verified"),
+        )
+        work = tagged.filter(~F.col("_exact") & ~F.col("_rej")).select("a", "b")
+
     joined = (
-        pairs.select("a", "b")
+        work
         .join(d.withColumnsRenamed({"doc_id": "a", "_t": "_ta", "_h": "_ha"}), "a")
         .join(d.withColumnsRenamed({"doc_id": "b", "_t": "_tb", "_h": "_hb"}), "b")
     )
@@ -403,4 +518,7 @@ def verify_pairs(
             yield out
 
     schema = "a long, b long, score long, similarity double, exact boolean, verified boolean"
-    return joined.mapInPandas(run, schema=schema)
+    result = joined.mapInPandas(run, schema=schema)
+    if pre_exact is not None:
+        result = result.unionByName(pre_exact).unionByName(pre_reject)
+    return result

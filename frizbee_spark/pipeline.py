@@ -41,11 +41,9 @@ from .operators.dedup import (
     DEFAULT_DEDUP,
     DedupConfig,
     compute_signatures,
-    exact_hash_pairs,
     extract_text,
-    lsh_band_pairs,
     normalize_text,
-    simhash_pairs,
+    unified_candidate_pairs,
     verify_pairs,
     winnow_span_pairs,
     with_doc_id,
@@ -104,27 +102,42 @@ class NearDupPipeline:
         self.cfg = cfg
         self.store = CheckpointStore(cfg.workdir)
         self._metrics: list[tuple] = []
+        self._lineage: list[tuple] = []
 
     # -- bookkeeping --------------------------------------------------------
 
     def _record(self, stage: str, df: DataFrame, wall_ms: float, resumed: bool) -> None:
+        # one job: per-partition counts collected to the driver; buffered
+        # and written once in flush_metrics (single small write instead of
+        # 2-3 extra jobs per stage)
         lineage = (
             df.groupBy(F.spark_partition_id().alias("partition_id"))
             .agg(F.count("*").alias("rows_out"))
-            .withColumn("stage", F.lit(stage))
-            .select("stage", "partition_id", "rows_out")
+            .collect()
         )
-        lineage.write.mode("append").parquet(os.path.join(self.cfg.workdir, "_lineage"))
-        rows = lineage.agg(F.sum("rows_out")).collect()[0][0] or 0
+        self._lineage.extend(
+            (stage, int(r["partition_id"]), int(r["rows_out"])) for r in lineage
+        )
+        rows = sum(r["rows_out"] for r in lineage)
         self._metrics.append((stage, int(rows), float(wall_ms), bool(resumed)))
 
     def flush_metrics(self) -> None:
+        if self._lineage:
+            ldf = self.spark.createDataFrame(
+                self._lineage, "stage string, partition_id int, rows_out long"
+            )
+            ldf.coalesce(1).write.mode("append").parquet(
+                os.path.join(self.cfg.workdir, "_lineage")
+            )
+            self._lineage = []
         if not self._metrics:
             return
         mdf = self.spark.createDataFrame(
             self._metrics, "stage string, rows_out long, wall_ms double, resumed boolean"
         )
-        mdf.write.mode("append").parquet(os.path.join(self.cfg.workdir, "_metrics"))
+        mdf.coalesce(1).write.mode("append").parquet(
+            os.path.join(self.cfg.workdir, "_metrics")
+        )
         self._metrics = []
 
     def metrics(self) -> DataFrame:
@@ -171,9 +184,12 @@ class NearDupPipeline:
             id_src = "url" if "url" in src.columns else "doc_id"
             if id_src == "url":
                 work = with_doc_id(work, "url")
+            # norm_text is NOT persisted: it is a cheap deterministic
+            # Catalyst expression recomputed at read (halves the biggest
+            # checkpoint write; the byte-identity invariant covers `text`)
             keep = [c for c in ("url", "warc_ts", "text", "lang", "_extract_ok")
                     if c in work.columns]
-            out_df = work.select("doc_id", *keep, "norm_text")
+            out_df = work.select("doc_id", *keep)
             # explicit stage-boundary repartition: deterministic hash
             # distribution on doc_id; sized so each downstream Arrow task
             # gets a full batch of work
@@ -203,6 +219,7 @@ class NearDupPipeline:
                     f"doc_id collision: {c['n']} rows, {c['d']} distinct ids"
                 )
             documents = documents.drop("_extract_ok")
+        documents = normalize_text(documents, "text")
         out["documents"] = documents
         if until == "documents":
             self.flush_metrics()
@@ -216,29 +233,12 @@ class NearDupPipeline:
             self.flush_metrics()
             return out
 
-        def s_candidates():
-            parts = [
-                exact_hash_pairs(signatures, d).withColumn("kind", F.lit("exact_hash")),
-                lsh_band_pairs(signatures, d).withColumn("kind", F.lit("minhash_lsh")),
-            ]
-            if cfg.enable_simhash:
-                parts.append(
-                    simhash_pairs(signatures, d).withColumn("kind", F.lit("simhash"))
-                )
-            allp = parts[0]
-            for p in parts[1:]:
-                allp = allp.unionByName(p)
-            pri = F.when(F.col("kind") == "exact_hash", 0).when(
-                F.col("kind") == "minhash_lsh", 1
-            ).otherwise(2)
-            return (
-                allp.withColumn("_pri", pri)
-                .groupBy("a", "b")
-                .agg(F.min(F.struct("_pri", "kind")).alias("_k"))
-                .select("a", "b", F.col("_k.kind").alias("kind"))
-            )
-
-        candidates = self._stage("candidates", s_candidates)
+        candidates = self._stage(
+            "candidates",
+            lambda: unified_candidate_pairs(
+                signatures, d, include_simhash=cfg.enable_simhash
+            ),
+        )
         out["candidates"] = candidates
         if until == "candidates":
             self.flush_metrics()
@@ -256,7 +256,8 @@ class NearDupPipeline:
         verified = self._stage(
             "verified",
             lambda: verify_pairs(
-                candidates, documents, d, num_partitions=cfg.pair_partitions
+                candidates, documents, d,
+                num_partitions=cfg.pair_partitions, signatures=signatures,
             ),
         )
         out["verified"] = verified
@@ -264,9 +265,9 @@ class NearDupPipeline:
             self.flush_metrics()
             return out
 
-        edges = self._stage(
-            "edges", lambda: verified.filter("verified").select("a", "b")
-        )
+        # virtual stage: a pure filter of the checkpointed `verified` table;
+        # recomputing on resume is free, so no checkpoint of its own
+        edges = verified.filter("verified").select("a", "b")
         out["edges"] = edges
         if until == "edges":
             self.flush_metrics()
