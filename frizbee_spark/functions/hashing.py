@@ -295,14 +295,21 @@ def winnow_fingerprints(
     fps: list[np.ndarray] = []
     sizes = np.empty(ndocs, dtype=np.int64)
 
-    # sliding min over the concatenated hash array (strided view, no copy),
-    # then per-doc slicing — windows crossing doc boundaries are skipped by
-    # construction because we only read positions [start, start+n_win) of
-    # each doc and n_win = count - window + 1
+    # sliding min over the concatenated hash array via sparse-table
+    # doubling: O(n log w) instead of the O(n*w) windowed reduce. After
+    # k doubling passes tmp[i] = min over [i, i+2^k); the final offset min
+    # combines two power-of-two spans covering the full window. Windows
+    # crossing doc boundaries are computed but never read (per-doc slices
+    # below stop at count - window + 1).
     total = shingle_hashes.size
     if total >= window:
-        swv = np.lib.stride_tricks.sliding_window_view(shingle_hashes, window)
-        rolled = swv.min(axis=1)
+        tmp = shingle_hashes.copy()
+        span = 1
+        while span * 2 <= window:
+            tmp[: total - span] = np.minimum(tmp[: total - span], tmp[span:])
+            span *= 2
+        n_out = total - window + 1
+        rolled = np.minimum(tmp[:n_out], tmp[window - span : window - span + n_out])
     else:
         rolled = None
 

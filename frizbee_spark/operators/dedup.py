@@ -68,6 +68,15 @@ class DedupConfig:
                                  # have noisy SimHash (a 5-edit near-dup of
                                  # a 200-byte doc can exceed the radius),
                                  # and SW on short docs is cheap anyway
+    degree_cap: int = 16         # per-doc candidate cap: keep each doc's K
+                                 # most-similar partners (SimHash Hamming,
+                                 # then id). Bounds verify work to O(K*n):
+                                 # giant dup families (boilerplate) appear
+                                 # in many independent bucket views whose
+                                 # unioned chain edges otherwise approach
+                                 # C(m,2). Every non-min member keeps an
+                                 # edge into its family, so connectivity
+                                 # (hence clustering) survives the cap.
     dense_cap: int = 32          # bucket size up to which all pairs are emitted
     salt_threshold: int = 5000   # bucket size above which salting kicks in
     n_salt: int = 64             # salt fan-out for hot buckets
@@ -130,12 +139,18 @@ def with_doc_id(df: DataFrame, url_col: str = "url") -> DataFrame:
 def compute_signatures(
     df: DataFrame, cfg: DedupConfig = DEFAULT_DEDUP, id_col: str = "doc_id",
     text_col: str = "norm_text",
+    keep_minhash: bool = False,
 ) -> DataFrame:
-    """One vectorized pass: doc -> MinHash signature, band keys, SimHash.
+    """One vectorized pass: doc -> LSH band keys + SimHash (+ MinHash).
 
-    Output: (doc_id, text_hash, n_bytes, minhash array<long>,
-    band_keys array<long>, simhash long). text_hash is xxhash64(norm_text)
+    Output: (doc_id, text_hash, n_bytes, band_keys array<long>,
+    simhash long[, minhash array<long>]). text_hash is xxhash64(norm_text)
     computed JVM-side — the exact-duplicate fast path (survey A4).
+
+    The raw 128-permutation MinHash signature is computed (band keys
+    derive from it) but NOT emitted unless ``keep_minhash`` — persisting
+    128 longs/doc dominates the stage's parquet encode/IO while no
+    downstream consumer reads it (the bands are the LSH interface).
     """
     work = df.select(
         F.col(id_col).alias("doc_id"),
@@ -155,14 +170,16 @@ def compute_signatures(
             bnd = band_hashes(sig, bands, rows)
             sim = simhash64(sh, sst)
             out = pdf[["doc_id", "text_hash", "n_bytes"]].copy()
-            out["minhash"] = list(sig.view(np.int64))
+            if keep_minhash:
+                out["minhash"] = list(sig.view(np.int64))
             out["band_keys"] = list(bnd)
             out["simhash"] = sim
             yield out
 
+    mh = "minhash array<long>, " if keep_minhash else ""
     schema = (
-        "doc_id long, text_hash long, n_bytes long, "
-        "minhash array<long>, band_keys array<long>, simhash long"
+        f"doc_id long, text_hash long, n_bytes long, "
+        f"{mh}band_keys array<long>, simhash long"
     )
     return work.mapInPandas(run, schema=schema)
 
@@ -308,7 +325,7 @@ def unified_candidate_pairs(
     # gate verify_pairs applies; doing it here keeps the candidate table
     # ~3x smaller.
     s = signatures.select("doc_id", "text_hash", "simhash", "n_bytes")
-    return (
+    gated = (
         raw.join(s.withColumnsRenamed(
             {"doc_id": "a", "text_hash": "_ha", "simhash": "_sa", "n_bytes": "_na"}), "a")
         .join(s.withColumnsRenamed(
@@ -319,8 +336,25 @@ def unified_candidate_pairs(
             | (F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb")))
                <= cfg.verify_hamming_reject)
         )
-        .select("a", "b")
+        .select(
+            "a", "b",
+            F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))).alias("_ham"),
+        )
     )
+    # per-doc degree cap (see DedupConfig.degree_cap): rank each doc's
+    # partners by (Hamming, partner id); an edge survives if EITHER
+    # endpoint ranks it within the cap
+    both = gated.select(F.col("a").alias("u"), F.col("b").alias("v"), "_ham").unionByName(
+        gated.select(F.col("b").alias("u"), F.col("a").alias("v"), "_ham")
+    )
+    w = Window.partitionBy("u").orderBy(F.asc("_ham"), F.asc("v"))
+    kept = (
+        both.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= cfg.degree_cap)
+        .select(F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    return kept
 
 
 def simhash_pairs(signatures: DataFrame, cfg: DedupConfig = DEFAULT_DEDUP) -> DataFrame:
