@@ -403,6 +403,105 @@ def sw_score_banded(
     return best.astype(np.int64)
 
 
+def greedy_batch(
+    needle: bytes,
+    texts: list[bytes],
+    scoring: Scoring = DEFAULT_SCORING,
+    max_cells: int = 32 * 1024 * 1024,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized greedy fallback matcher: one needle vs a batch of texts.
+
+    Replicates the scalar first-match-wins scan (oracle.match_greedy,
+    re-expressed from /root/reference/src/smith_waterman/greedy.rs:9-103)
+    with one NumPy pass per needle char instead of a Python loop per text
+    byte. Correct because the scalar scan visits every haystack char at
+    most once in increasing order, so the path-dependent flags
+    (delimiter-bonus armed, previous-char classes) collapse to pure
+    functions of the match *position* — precomputable for the whole batch
+    (same observation as :func:`_haystack_bonus_cols`). Only the match
+    positions and the saturating score accumulation are sequential, and
+    those iterate over the needle (short), vectorized across rows.
+
+    Returns ``(scores, exact)``; failed rows (some needle char unmatched)
+    score 0, as in the reference. Sub-batches rows so the padded matrix
+    stays under ``max_cells`` bytes.
+    """
+    bsz = len(texts)
+    scores = np.zeros(bsz, dtype=np.int64)
+    exact = np.zeros(bsz, dtype=bool)
+    n_len = len(needle)
+    if bsz == 0 or n_len == 0:
+        return scores, exact
+
+    nb = np.frombuffer(needle, dtype=np.uint8)
+    n_low = np.where((nb >= 65) & (nb <= 90), nb + 32, nb).astype(np.int16)
+
+    # process in length-sorted sub-batches to bound padded-matrix size
+    order = np.argsort([len(t) for t in texts], kind="stable")
+    start = 0
+    while start < bsz:
+        w0 = max(len(texts[order[start]]), 1)
+        stop = start + 1
+        while stop < bsz:
+            w = max(len(texts[order[stop]]), 1)
+            if (stop - start + 1) * w > max_cells:
+                break
+            stop += 1
+        sel = order[start:stop]
+        s, e = _greedy_chunk([texts[i] for i in sel], nb, n_low, scoring)
+        scores[sel] = s
+        exact[sel] = e
+        start = stop
+    return scores, exact
+
+
+def _greedy_chunk(
+    texts: list[bytes], nb: np.ndarray, n_low: np.ndarray, scoring: Scoring
+) -> tuple[np.ndarray, np.ndarray]:
+    bsz, n_len = len(texts), nb.size
+    hs, lens = _pad_bytes(texts)
+    w = hs.shape[1]
+    h_low, h_upper, h_lower, h_delim = _char_classes(hs, scoring.delimiters)
+    # positional bonuses (delimiter + capitalization), identical derivation
+    # to the DP kernels — the greedy scan arms/reads the same flags
+    delim_bonus, cap_bonus = _haystack_bonus_cols(h_upper, h_lower, h_delim, scoring)
+    pos_bonus = (delim_bonus + cap_bonus).astype(np.int64)
+    pos_bonus[:, 0] = 0  # cap/delim bonuses need a previous char
+
+    cols = np.arange(w, dtype=np.int64)[None, :]
+    h = np.zeros(bsz, dtype=np.int64)          # scan position (start_idx)
+    score = np.zeros(bsz, dtype=np.int64)
+    alive = lens >= n_len
+    bidx = np.arange(bsz)
+    go, ge = scoring.gap_open_penalty, scoring.gap_extend_penalty
+
+    for k in range(n_len):
+        bound = lens - n_len + k
+        m = (h_low == n_low[k]) & (cols >= h[:, None]) & (cols <= bound[:, None])
+        found = m.any(axis=1)
+        p = m.argmax(axis=1)  # first match position (0 when none — masked by found)
+        alive &= found
+
+        add = np.full(bsz, scoring.match_score, dtype=np.int64)
+        gap_len = p - h  # chars skipped before the match
+        gap = np.where(
+            (gap_len > 0) & (k != 0), go + ge * np.maximum(gap_len - 1, 0), 0
+        )
+        score = np.maximum(score + add - gap, 0)
+        bonus = np.where(hs[bidx, p] == nb[k], scoring.matching_case_bonus, 0)
+        bonus = bonus + np.where(p == 0, scoring.prefix_bonus, 0)
+        bonus = bonus + pos_bonus[bidx, p]
+        score = np.where(alive, score + bonus, score)
+        h = p + 1
+
+    scores = np.where(alive, score, 0)
+    exact = (lens == n_len) & np.array(
+        [t == nb.tobytes() for t in texts], dtype=bool
+    )
+    scores[exact & alive] += scoring.exact_match_bonus
+    return scores, exact & alive
+
+
 def self_scores_batch(texts: list[bytes], scoring: Scoring = DEFAULT_SCORING) -> np.ndarray:
     """Vectorized closed-form self-alignment scores (see oracle.self_score)."""
     out = np.zeros(len(texts), dtype=np.int64)

@@ -65,30 +65,56 @@ def _canon(edges: DataFrame) -> DataFrame:
 
 
 def connected_components(
-    edges: DataFrame, max_iter: int = 50, use_local_checkpoint: bool = True
+    edges: DataFrame,
+    max_iter: int = 50,
+    use_local_checkpoint: bool = True,
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """Edges (a, b) -> star edges (root, member), root = component min.
 
     Returns the converged edge set: every member points at its component's
     minimum node id. Nodes appearing in no edge are absent (callers
     coalesce to self — see :func:`assign_clusters`).
+
+    Driver round-trips are batched: the convergence checksum runs every
+    SECOND round (the converged star set is a fixed point of
+    large-star/small-star, so one possibly-redundant extra round trades
+    for halving the per-round driver actions that would otherwise
+    serialize the critical path). With ``reliable_checkpoint`` the lineage
+    truncation uses ``.checkpoint()`` against the SparkContext's
+    checkpoint dir (fault-tolerant storage — required at cluster scale,
+    where executor loss would invalidate `localCheckpoint` blocks);
+    callers must have called ``sc.setCheckpointDir`` first.
+
+    Raises RuntimeError if the iteration hits ``max_iter`` rounds without
+    converging — silently returning a non-converged edge set would corrupt
+    downstream cluster assignments.
     """
-    cur = _canon(edges)
-    if use_local_checkpoint:
-        # lazy local checkpoint: materialized by the checksum collect right
-        # after — one action per round instead of two
-        cur = cur.localCheckpoint(eager=False)
-    prev_sig = _edge_checksum(cur)
-    for _ in range(max_iter):
-        nxt = _canon(_small_star(_large_star(cur)))
+
+    def _truncate(df: DataFrame) -> DataFrame:
+        if reliable_checkpoint:
+            return df.checkpoint(eager=False)
         if use_local_checkpoint:
-            nxt = nxt.localCheckpoint(eager=False)
-        sig = _edge_checksum(nxt)
-        cur = nxt
-        if sig == prev_sig:
-            break
-        prev_sig = sig
-    return cur  # star-shaped: (a=root, b=member)
+            # lazy: materialized by the next checksum collect — no extra
+            # action per round
+            return df.localCheckpoint(eager=False)
+        return df
+
+    cur = _truncate(_canon(edges))
+    prev_sig = None
+    rounds = 0
+    while rounds < max_iter:
+        cur = _truncate(_canon(_small_star(_large_star(cur))))
+        rounds += 1
+        if rounds % 2 == 0 or rounds >= max_iter:
+            sig = _edge_checksum(cur)
+            if sig == prev_sig or sig[0] == 0:
+                return cur  # star-shaped: (a=root, b=member)
+            prev_sig = sig
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds "
+        f"(last checksum {prev_sig})"
+    )
 
 
 def assign_clusters(

@@ -34,7 +34,7 @@ from ..functions.oracle import (
     smith_waterman,
     typos_from_score_matrix,
 )
-from ..functions.wavefront import sw_batch
+from ..functions.wavefront import greedy_batch, sw_batch
 
 
 @dataclass(frozen=True)
@@ -85,12 +85,17 @@ def match_list_arrays(
     needle: str | bytes,
     texts: list[bytes],
     config: MatchConfig = DEFAULT_CONFIG,
+    route: str = "auto",
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Core batch matcher: returns (kept_positions, scores, typos, exact).
 
     ``kept_positions`` indexes into ``texts``; rows failing the min-length
     filter, prefilter, or typo budget are dropped (unless max_typos is
     None, which scores everything). No sorting here — callers sort.
+
+    ``route`` overrides the cost-based kernel choice (reference:
+    src/one_shot/mod.rs:20-25): "auto" sizes per row, "greedy" forces the
+    linear-scan matcher, "dp" forces the DP wavefront.
     """
     nb = needle.encode() if isinstance(needle, str) else bytes(needle)
     count = len(texts)
@@ -122,14 +127,22 @@ def match_list_arrays(
 
     # cost-based routing: oversized matrices go to the greedy matcher
     # (one_shot/mod.rs:20-25), everything else into the bucket ladder
-    greedy_mask = np.array(
-        [match_too_large(len(nb), int(lens[p]), SW_MAX_CELLS) or lens[p] > LENGTH_BUCKETS[-1]
-         for p in pos],
-        dtype=bool,
-    )
-    for k in np.flatnonzero(greedy_mask):
-        s, _, e = match_greedy(nb, texts[pos[k]], config.scoring)
-        scores[k], typos[k], exact[k] = s, 0, e
+    if route == "greedy":
+        greedy_mask = np.ones(pos.size, dtype=bool)
+    elif route == "dp":
+        greedy_mask = np.zeros(pos.size, dtype=bool)
+    else:
+        kept_lens = lens[pos]
+        greedy_mask = (len(nb) * kept_lens > SW_MAX_CELLS) | (
+            kept_lens > LENGTH_BUCKETS[-1]
+        )
+    g_rows = np.flatnonzero(greedy_mask)
+    if g_rows.size:
+        # batched NumPy greedy (differentially tested vs oracle.match_greedy)
+        g_scores, g_exact = greedy_batch(
+            nb, [texts[pos[k]] for k in g_rows], config.scoring
+        )
+        scores[g_rows], typos[g_rows], exact[g_rows] = g_scores, 0, g_exact
 
     dp_rows = np.flatnonzero(~greedy_mask)
     if dp_rows.size:

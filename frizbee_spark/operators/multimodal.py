@@ -19,7 +19,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-from ..functions.hashing import hash64_bytes
+from ..functions.hashing import byte_entropy_batch, hash64_batch, hash64_bytes
 
 # magic-byte sniffing is real (not stubbed) — pure byte compares
 _MAGIC = [
@@ -52,15 +52,10 @@ def media_stats(df: DataFrame, id_col: str = "doc_id", binary_col: str = "media"
 
     def run(batches):
         for pdf in batches:
-            blobs = [b if b is not None else b"" for b in pdf["_m"]]
-            n = np.array([len(b) for b in blobs], dtype=np.int64)
-            h = np.array([hash64_bytes(b) for b in blobs], dtype=np.uint64).view(np.int64)
-            ent = np.zeros(len(blobs))
-            for i, b in enumerate(blobs):
-                if b:
-                    counts = np.bincount(np.frombuffer(b, dtype=np.uint8), minlength=256)
-                    p = counts[counts > 0] / len(b)
-                    ent[i] = float(-(p * np.log2(p)).sum())
+            blobs = [bytes(b) if b is not None else b"" for b in pdf["_m"]]
+            n = np.fromiter((len(b) for b in blobs), dtype=np.int64, count=len(blobs))
+            h = hash64_batch(blobs).view(np.int64)
+            ent = byte_entropy_batch(blobs)
             out = pdf[["doc_id"]].copy()
             out["n_bytes"] = n
             out["content_hash"] = h
@@ -101,8 +96,8 @@ def decode_media(
 
     def run(batches):
         for pdf in batches:
-            blobs = [b if b is not None else b"" for b in pdf["_m"]]
-            h = np.array([hash64_bytes(b) for b in blobs], dtype=np.uint64)
+            blobs = [bytes(b) if b is not None else b"" for b in pdf["_m"]]
+            h = hash64_batch(blobs)
             # deterministic fake: dims/duration from hash bits (STUB)
             width = (h % np.uint64(1920)).astype(np.int64) + 16
             height = ((h >> np.uint64(16)) % np.uint64(1080)).astype(np.int64) + 16

@@ -1,6 +1,6 @@
 """End-to-end near-duplicate detection pipeline with resumable stages.
 
-Stage graph (each checkpointable, north-rule requirements in brackets):
+Stage graph (north-rule requirements in brackets):
 
     documents    source + extract + normalize + doc_id  [byte-identity]
     signatures   MinHash/band/SimHash per doc           [vectorized UDFs]
@@ -11,20 +11,30 @@ Stage graph (each checkpointable, north-rule requirements in brackets):
     clusters     large-star/small-star CC               [explicit shuffle]
     canonical    earliest doc per cluster               [window]
 
-Checkpointing: every stage writes parquet under `workdir/<stage>` and a
-completed stage (Spark `_SUCCESS` marker) is *read back, not recomputed*
-on the next run — the resumable-stage-boundary requirement. The storage
-layer is parquet in the sandbox; on a real deployment each `write` maps
-to an Iceberg `writeTo(...).createOrReplace()` and resume maps to reading
-the table's last committed snapshot (same semantics: atomic visible-only-
-when-complete commits). This mirrors the reference's incremental matcher,
-which persists pre-interleaved buckets once and recomputes only what a
-new needle invalidates (/root/reference/src/incremental/matcher.rs:13-118).
+Checkpointing is SELECTIVE: only the stages in
+``PipelineConfig.checkpoint_stages`` write parquet under
+``workdir/<stage>``; a completed stage (Spark `_SUCCESS` marker) is *read
+back, not recomputed* on the next run — the resumable-stage-boundary
+requirement. ``candidates`` and ``edges`` flow through by default: each is
+consumed exactly once by the next stage, so persisting them would add a
+write + read-back + an extra scheduler round-trip to the critical path for
+zero resume value (wiping `verified` already recomputes them from the
+`signatures` checkpoint). The storage layer is parquet in the sandbox; on
+a real deployment each `write` maps to an Iceberg
+`writeTo(...).createOrReplace()` and resume maps to reading the table's
+last committed snapshot (same semantics: atomic visible-only-when-complete
+commits). This mirrors the reference's incremental matcher, which persists
+pre-interleaved buckets once and recomputes only what a new needle
+invalidates (/root/reference/src/incremental/matcher.rs:13-118).
 
-Metrics + lineage: every stage appends rows to `workdir/_metrics`
-(stage-level wall time / row counts) and `workdir/_lineage` (per-partition
-row counts from `spark_partition_id()`), the per-partition lineage+metrics
-rows the north rule names.
+Metrics + lineage cost ZERO extra Spark jobs: per-partition row counts are
+read driver-side from the parquet footers of each checkpoint's part files
+(a part file is one write partition), and stage row totals are the footer
+sums. Both are buffered and written once at the end of `run` to
+``workdir/_metrics`` / ``workdir/_lineage`` — the per-partition
+lineage+metrics rows the north rule names, without the per-stage
+`collect()` jobs that serialized round 1's critical path (strong-scaling
+efficiency was 0.232 with them, see BENCH.md history).
 """
 
 from __future__ import annotations
@@ -54,6 +64,13 @@ STAGES = (
     "verified", "edges", "clusters", "canonical",
 )
 
+# stages whose output is consumed exactly once by the next stage — flowing
+# them through keeps candidate generation + verification one Spark query
+# (AQE plans the joins end-to-end) instead of three serialized jobs
+DEFAULT_CHECKPOINTS = (
+    "documents", "signatures", "span_pairs", "verified", "clusters", "canonical",
+)
+
 
 @dataclass
 class PipelineConfig:
@@ -71,10 +88,13 @@ class PipelineConfig:
     check_extraction: bool = True   # assert extracted_text == text per url
     check_id_collisions: bool = True
     doc_partitions: int | None = None   # repartition docs at the stage
-                                        # boundary (default 2x parallelism);
-                                        # single-file inputs otherwise leave
-                                        # every UDF stage on one task
+                                        # boundary; default is sized by
+                                        # input volume (see _doc_partitions)
     pair_partitions: int | None = None  # repartition before verify
+    checkpoint_stages: tuple = DEFAULT_CHECKPOINTS
+    target_bytes_per_task: int = 24 * 1024 * 1024  # volume heuristic for
+    # stage-boundary repartitions — the per-thread work sizing of the
+    # reference (parallel/mod.rs:131-143) expressed in bytes, not rows
 
 
 class CheckpointStore:
@@ -101,6 +121,31 @@ class CheckpointStore:
 
         shutil.rmtree(self.path(stage), ignore_errors=True)
 
+    def footer_stats(self, stage: str) -> list[tuple[int, int, int]]:
+        """(part_index, rows, bytes) per part file, from parquet footers —
+        driver-side metadata reads, no Spark job. A part file corresponds
+        to one write partition, so this doubles as per-partition lineage."""
+        import pyarrow.parquet as pq
+
+        out = []
+        d = self.path(stage)
+        parts = sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+        for i, f in enumerate(parts):
+            fp = os.path.join(d, f)
+            out.append((i, pq.read_metadata(fp).num_rows, os.path.getsize(fp)))
+        return out
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
+
 
 class NearDupPipeline:
     def __init__(self, spark: SparkSession, cfg: PipelineConfig):
@@ -112,27 +157,25 @@ class NearDupPipeline:
 
     # -- bookkeeping --------------------------------------------------------
 
-    def _record(self, stage: str, df: DataFrame, wall_ms: float, resumed: bool) -> None:
-        # one job: per-partition counts collected to the driver; buffered
-        # and written once in flush_metrics (single small write instead of
-        # 2-3 extra jobs per stage)
-        lineage = (
-            df.groupBy(F.spark_partition_id().alias("partition_id"))
-            .agg(F.count("*").alias("rows_out"))
-            .collect()
-        )
-        self._lineage.extend(
-            (stage, int(r["partition_id"]), int(r["rows_out"])) for r in lineage
-        )
-        rows = sum(r["rows_out"] for r in lineage)
-        self._metrics.append((stage, int(rows), float(wall_ms), bool(resumed)))
+    def _record_checkpointed(self, stage: str, wall_ms: float, resumed: bool) -> int:
+        """Metrics + per-partition lineage from parquet footers (no jobs)."""
+        stats = self.store.footer_stats(stage)
+        self._lineage.extend((stage, pid, rows) for pid, rows, _ in stats)
+        total = sum(rows for _, rows, _ in stats)
+        self._metrics.append((stage, int(total), float(wall_ms), bool(resumed)))
+        return total
+
+    def _record_flowthrough(self, stage: str) -> None:
+        # lazy stage: no materialization yet, so no row count (-1); its
+        # cost lands in the wall of the consuming checkpointed stage
+        self._metrics.append((stage, -1, 0.0, False))
 
     def flush_metrics(self) -> None:
         if self._lineage:
             ldf = self.spark.createDataFrame(
                 self._lineage, "stage string, partition_id int, rows_out long"
             )
-            ldf.coalesce(1).write.mode("append").parquet(
+            ldf.write.mode("append").parquet(
                 os.path.join(self.cfg.workdir, "_lineage")
             )
             self._lineage = []
@@ -141,7 +184,7 @@ class NearDupPipeline:
         mdf = self.spark.createDataFrame(
             self._metrics, "stage string, rows_out long, wall_ms double, resumed boolean"
         )
-        mdf.coalesce(1).write.mode("append").parquet(
+        mdf.write.mode("append").parquet(
             os.path.join(self.cfg.workdir, "_metrics")
         )
         self._metrics = []
@@ -153,14 +196,30 @@ class NearDupPipeline:
         return self.store.read(self.spark, "_lineage")
 
     def _stage(self, name: str, compute) -> DataFrame:
-        """Run-or-resume one stage; always returns the checkpointed table."""
+        """Run-or-resume one stage.
+
+        Checkpointed stages return the read-back of the materialized
+        table; flow-through stages return the lazy plan directly.
+        """
+        if name not in self.cfg.checkpoint_stages:
+            self._record_flowthrough(name)
+            return compute()
         t0 = time.monotonic()
         resumed = self.cfg.resume and self.store.is_complete(name)
         if not resumed:
             self.store.write(name, compute())
         out = self.store.read(self.spark, name)
-        self._record(name, out, (time.monotonic() - t0) * 1e3, resumed)
+        self._record_checkpointed(name, (time.monotonic() - t0) * 1e3, resumed)
         return out
+
+    def _doc_partitions(self, input_path: str | None) -> int:
+        if self.cfg.doc_partitions:
+            return self.cfg.doc_partitions
+        base = max(self.spark.sparkContext.defaultParallelism * 2, 8)
+        if input_path and os.path.isdir(input_path):
+            vol = _dir_bytes(input_path)
+            return max(base, -(-vol // self.cfg.target_bytes_per_task))
+        return base
 
     # -- stages -------------------------------------------------------------
 
@@ -197,12 +256,10 @@ class NearDupPipeline:
                     if c in work.columns]
             out_df = work.select("doc_id", *keep)
             # explicit stage-boundary repartition: deterministic hash
-            # distribution on doc_id; sized so each downstream Arrow task
-            # gets a full batch of work
-            n_parts = cfg.doc_partitions or max(
-                self.spark.sparkContext.defaultParallelism * 2, 8
-            )
-            return out_df.repartition(n_parts, "doc_id")
+            # distribution on doc_id, sized by input volume (reference
+            # B5 heuristic, parallel/mod.rs:131-143) so each downstream
+            # Arrow task gets a full batch of work
+            return out_df.repartition(self._doc_partitions(input_path), "doc_id")
 
         documents = self._stage("documents", s_documents)
         # invariant checks run on the checkpointed (parallel) table — one

@@ -18,20 +18,31 @@ def get_spark(app_name: str = "frizbee-spark", cores: int | None = None, extra: 
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
 
+    # Partition sizing: Arrow-UDF stages cost ~CPU per byte, far above the
+    # JVM-scan costs Spark's defaults assume, so both the scan split size
+    # and the AQE coalesce target are set small (16m vs the 128m/64m
+    # defaults). Otherwise a checkpoint read-back or post-join AQE
+    # coalesce folds a whole UDF stage into 1-2 tasks and wall time stops
+    # responding to cores (measured: signatures 13s flat from 8 to 32
+    # cores before this change). At 100 TB the same knob keeps one task
+    # per parquet row-group-ish split — thousands of tasks, which is the
+    # correct shape there too.
+    split = os.environ.get("SPARK_GRAFT_SPLIT_BYTES", "16m")
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)
-        .config("spark.sql.shuffle.partitions", str(max(cores, 4)))
+        .config("spark.sql.shuffle.partitions", str(max(cores * 2, 8)))
         .config("spark.default.parallelism", str(max(cores, 4)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", split)
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config("spark.sql.files.maxPartitionBytes", split)
     )
     for k, v in (extra or {}).items():
         builder = builder.config(k, v)

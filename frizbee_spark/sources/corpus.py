@@ -173,8 +173,11 @@ class CorpusGenerator:
 
 def _url_of(row_id: int, rng: np.random.Generator) -> str:
     site = (int(rng.zipf(1.3)) - 1) % N_SITES
-    path = int(splitmix64(np.uint64(row_id ^ 0xBADC0DE))) & 0xFFFFFFFF
-    return f"https://site{site:04d}.example/{path:08x}"
+    # full 64-bit path hash: a 32-bit truncation has expected-collision ~1
+    # at 100k rows on one zipf-hot site, and a url collision collides
+    # doc_ids (pipeline fails loudly on that invariant)
+    path = int(splitmix64(np.uint64(row_id ^ 0xBADC0DE)))
+    return f"https://site{site:04d}.example/{path:016x}"
 
 
 def _lang_of(row_id: int) -> str:

@@ -52,11 +52,27 @@ def _looks_like_text_dir(path: str) -> bool:
 def read_text_lines(spark: SparkSession, path: str) -> DataFrame:
     """Newline-delimited strings -> (doc_id, text) — the benchmark file
     source of the reference (/root/reference/benches/lib.rs:22-26 reads the
-    Chromium path list the same way). Line ids are derived from content
-    hash + a per-line sequence to stay stable across re-reads."""
-    lines = spark.read.text(path)
+    Chromium path list the same way).
+
+    doc_id = xxhash64(file, content, per-file line sequence), so duplicate
+    lines get distinct ids (the pipeline's id-collision invariant). The
+    sequence comes from a window over ``monotonically_increasing_id`` per
+    file: deterministic for a fixed file layout + session config; a
+    re-read under a different split size renumbers lines within a file
+    (ids stay unique, ordering-sensitive callers should persist ids).
+    """
+    from pyspark.sql.window import Window
+
+    lines = spark.read.text(path).select(
+        F.col("value"),
+        F.col("_metadata.file_path").alias("_file"),
+        F.monotonically_increasing_id().alias("_mid"),
+    )
+    w = Window.partitionBy("_file").orderBy("_mid")
     return lines.select(
-        F.xxhash64(F.col("value")).alias("doc_id"), F.col("value").alias("text")
+        F.xxhash64("_file", "value", F.row_number().over(w).cast("string"))
+        .alias("doc_id"),
+        F.col("value").alias("text"),
     )
 
 

@@ -51,7 +51,7 @@ def incremental_dedup_batch(
     cfg: DedupConfig = DEFAULT_DEDUP,
     id_col: str = "doc_id",
     text_col: str = "norm_text",
-) -> tuple[DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Delta step: returns (new_signatures, candidate_pairs, all_signatures).
 
     Candidates cover new-vs-new AND new-vs-existing pairs; existing-vs-
@@ -124,10 +124,19 @@ def dedup_stream(
     files; each micro-batch runs the delta step against the accumulated
     signature/doc state tables under ``state_dir``.
 
-    Returns the StreamingQuery. State tables:
+    Returns the StreamingQuery. State tables (each a dir of per-batch
+    partitions ``batch_id=N``):
       state_dir/signatures   cumulative signature index
       state_dir/docs         cumulative (doc_id, norm_text) lookup
       state_dir/edges        cumulative verified duplicate edges
+
+    Idempotency: ``foreachBatch`` is at-least-once, so every state write
+    goes to a per-batch subdirectory with mode=overwrite keyed by the
+    stable ``batch_id`` — a crash mid-batch or a batch replay rewrites the
+    same subdirectories instead of appending duplicate rows. Reads of
+    prior state exclude the current batch_id, so a replay never sees its
+    own half-written first attempt. (On Iceberg this maps to
+    overwrite-by-filter commits keyed on a batch_id column.)
     """
     import os
 
@@ -140,6 +149,19 @@ def dedup_stream(
     docs_path = os.path.join(state_dir, "docs")
     edges_path = os.path.join(state_dir, "edges")
 
+    def _read_state(s, path: str, exclude_batch: int):
+        if not os.path.isdir(path):
+            return None
+        subs = [
+            d for d in os.listdir(path)
+            if d.startswith("batch_id=")
+            and os.path.exists(os.path.join(path, d, "_SUCCESS"))
+            and int(d.split("=", 1)[1]) != exclude_batch
+        ]
+        if not subs:
+            return None
+        return s.read.parquet(*[os.path.join(path, d) for d in subs])
+
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
@@ -147,25 +169,22 @@ def dedup_stream(
         new_docs = with_doc_id(normalize_text(batch_df, "text"), "url").select(
             "doc_id", "url", "norm_text"
         )
-        have_state = os.path.exists(os.path.join(sig_path, "_SUCCESS"))
-        existing = s.read.parquet(sig_path) if have_state else None
+        existing = _read_state(s, sig_path, batch_id)
         new_sigs, cand, all_sigs = incremental_dedup_batch(new_docs, existing, cfg)
 
-        old_docs = (
-            s.read.parquet(docs_path)
-            if os.path.exists(os.path.join(docs_path, "_SUCCESS"))
-            else None
-        )
+        old_docs = _read_state(s, docs_path, batch_id)
         lookup = new_docs.select("doc_id", "norm_text")
         if old_docs is not None:
             lookup = lookup.unionByName(old_docs.select("doc_id", "norm_text"))
         edges = verify_increment(cand, lookup, all_sigs, cfg)
 
-        # append-only state updates (atomic-visibility via _SUCCESS /
-        # Iceberg snapshot on a real deployment)
-        edges.write.mode("append").parquet(edges_path)
-        new_sigs.write.mode("append").parquet(sig_path)
-        new_docs.select("doc_id", "norm_text").write.mode("append").parquet(docs_path)
+        # idempotent per-batch overwrites (replay-safe, see docstring)
+        sub = f"batch_id={batch_id}"
+        edges.write.mode("overwrite").parquet(os.path.join(edges_path, sub))
+        new_sigs.write.mode("overwrite").parquet(os.path.join(sig_path, sub))
+        new_docs.select("doc_id", "norm_text").write.mode("overwrite").parquet(
+            os.path.join(docs_path, sub)
+        )
 
     q = (
         stream.writeStream.foreachBatch(process_batch)

@@ -150,3 +150,44 @@ class TestDocHash:
         assert H.hash64_bytes(b"abc") == H.hash64_bytes(b"abc")
         assert H.hash64_bytes(b"abc") != H.hash64_bytes(b"abd")
         assert H.hash64_bytes(b"") != H.hash64_bytes(b"\x00")
+
+
+class TestBatchKernels:
+    def test_hash64_batch_matches_scalar(self):
+        import numpy as np
+        from frizbee_spark.functions.hashing import hash64_batch, hash64_bytes
+
+        rng = np.random.default_rng(5)
+        blobs = [bytes(rng.integers(0, 256, size=int(n), dtype=np.uint8))
+                 for n in [0, 1, 7, 100, 5000, 0, 3]]
+        out = hash64_batch(blobs)
+        for k, b in enumerate(blobs):
+            assert int(out[k]) == hash64_bytes(b)
+
+    def test_hash64_batch_chunking(self):
+        import numpy as np
+        from frizbee_spark.functions import hashing
+        from frizbee_spark.functions.hashing import hash64_batch, hash64_bytes
+
+        rng = np.random.default_rng(6)
+        blobs = [bytes(rng.integers(0, 256, size=4000, dtype=np.uint8))
+                 for _ in range(200)]  # > _SHINGLE_CHUNK total -> multi-chunk
+        assert sum(map(len, blobs)) > hashing._SHINGLE_CHUNK
+        out = hash64_batch(blobs)
+        for k in (0, 99, 199):
+            assert int(out[k]) == hash64_bytes(blobs[k])
+
+    def test_byte_entropy_batch(self):
+        import math
+        import numpy as np
+        from frizbee_spark.functions.hashing import byte_entropy_batch
+
+        out = byte_entropy_batch([b"", b"aaaa", b"ab", b"abcd" * 4])
+        assert out[0] == 0.0 and out[1] == 0.0
+        assert abs(out[2] - 1.0) < 1e-12
+        assert abs(out[3] - 2.0) < 1e-12
+        rng = np.random.default_rng(7)
+        b = bytes(rng.integers(0, 256, size=8192, dtype=np.uint8))
+        counts = np.bincount(np.frombuffer(b, dtype=np.uint8), minlength=256)
+        p = counts[counts > 0] / len(b)
+        assert abs(byte_entropy_batch([b])[0] - float(-(p * np.log2(p)).sum())) < 1e-9

@@ -162,3 +162,49 @@ class TestSelfScores:
         full, _, exact = sw_batch(texts, texts, compute_typos=False)
         assert exact.all()
         np.testing.assert_array_equal(batch, full)
+
+
+class TestGreedyBatch:
+    """greedy_batch must equal the scalar oracle.match_greedy row-for-row
+    (reference semantics: greedy.rs:9-103)."""
+
+    def _check(self, needle: bytes, texts: list):
+        from frizbee_spark.functions.oracle import match_greedy
+        from frizbee_spark.functions.wavefront import greedy_batch
+
+        scores, exact = greedy_batch(needle, texts)
+        for k, t in enumerate(texts):
+            es, _, ee = match_greedy(needle, t)
+            assert scores[k] == es, f"score mismatch needle={needle!r} t={t!r}"
+            assert exact[k] == ee, f"exact mismatch needle={needle!r} t={t!r}"
+
+    def test_golden_pairs(self):
+        by_needle = {}
+        for n, h in GOLDEN_PAIRS:
+            by_needle.setdefault(n.encode(), []).append(h.encode())
+        for n, hs in by_needle.items():
+            self._check(n, hs)
+
+    @pytest.mark.parametrize("seed", [11, 12, 13])
+    def test_random_batches(self, seed):
+        rng = np.random.default_rng(seed)
+        alphabet = np.frombuffer(b"abcABC_- ./x", dtype=np.uint8)
+        for needle_len in (1, 3, 8, 16):
+            needle = bytes(rng.choice(alphabet, size=needle_len))
+            texts = random_strings(rng, 150, [0, 1, 5, 16, 40, 200, 600], alphabet)
+            self._check(needle, texts)
+
+    def test_gap_clamp_and_not_found(self):
+        # large gaps force the max(0, score - gap) clamp; missing chars fail
+        self._check(b"az", [b"a" + b"x" * 50 + b"z", b"a" + b"x" * 5 + b"z",
+                            b"az", b"a", b"zzz", b"", b"qa z"])
+
+    def test_sub_batching(self):
+        from frizbee_spark.functions.oracle import match_greedy
+        from frizbee_spark.functions.wavefront import greedy_batch
+
+        texts = [b"ab" * (10 * (k + 1)) for k in range(40)]
+        scores, exact = greedy_batch(b"aba", texts, max_cells=2000)
+        for k, t in enumerate(texts):
+            es, _, ee = match_greedy(b"aba", t)
+            assert scores[k] == es and exact[k] == ee
