@@ -4,8 +4,11 @@ entry(spark)      — flagship: full near-dup detection + clustering over the
                     sf0.001 documents table.
 queries()         — one entry per implemented operator (SURVEY.md §2).
 oracle_sql()      — DuckDB-equivalent SQL for every SQL-expressible query;
-                    non-relational ops (MinHash/LSH/SW/ANN) get the
-                    rows-only check by design.
+                    non-relational ops (MinHash/LSH/SW) get the rows-only
+                    check by design. The greedy fuzzy matcher, media
+                    byte-stats, ANN top-k, and embedding near-dups DO have
+                    full oracles (recursive-CTE scan simulation / unnest
+                    histogram / brute-force cosine).
 
 Column-name parity rule: every computed column is aliased identically in
 the Spark plan and the oracle SQL (the driver hash-compares values under
@@ -20,6 +23,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 SF_DEFAULT = "/root/testdata/sf0.001"
+
+FUZZY_NEEDLE = "table value data"
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -43,6 +48,24 @@ def _dedup_cfg():
     return DedupConfig(span_min_len=100, span_shingle_k=24, winnow_window=16)
 
 
+def _pipeline_frames(spark: SparkSession, sf_dir: str) -> dict:
+    """Shared dedup dataflow for the pipeline-shaped queries: signatures
+    -> unified candidates -> gated verify. One construction point so every
+    driver query goes through the optimized path (pre-join exact/Hamming
+    gates via ``signatures=``, single-pass candidate generation)."""
+    from frizbee_spark.operators.dedup import (
+        compute_signatures, unified_candidate_pairs, verify_pairs,
+    )
+
+    cfg = _dedup_cfg()
+    docs = _norm_docs(spark, sf_dir)
+    sigs = compute_signatures(docs, cfg)
+    cands = unified_candidate_pairs(sigs, cfg, include_simhash=False)
+    verified = verify_pairs(cands, docs, cfg, signatures=sigs)
+    return {"cfg": cfg, "docs": docs, "sigs": sigs, "cands": cands,
+            "verified": verified}
+
+
 # ---------------------------------------------------------------------------
 # flagship
 # ---------------------------------------------------------------------------
@@ -51,18 +74,10 @@ def entry(spark: SparkSession) -> DataFrame:
     """Near-dup clusters + sizes over sf0.001 documents (no checkpointing:
     the operators run directly; NearDupPipeline adds resumable stages)."""
     from frizbee_spark.operators.components import assign_clusters
-    from frizbee_spark.operators.dedup import (
-        compute_signatures, exact_hash_pairs, lsh_band_pairs, verify_pairs,
-    )
 
-    cfg = _dedup_cfg()
-    docs = _norm_docs(spark, SF_DEFAULT)
-    sigs = compute_signatures(docs, cfg)
-    cands = exact_hash_pairs(sigs, cfg).unionByName(
-        lsh_band_pairs(sigs, cfg)
-    ).dropDuplicates(["a", "b"])
-    edges = verify_pairs(cands, docs, cfg).filter("verified").select("a", "b")
-    clusters = assign_clusters(docs, edges)
+    fr = _pipeline_frames(spark, SF_DEFAULT)
+    edges = fr["verified"].filter("verified").select("a", "b")
+    clusters = assign_clusters(fr["docs"], edges)
     sizes = clusters.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
     return (
         clusters.join(sizes, "cluster_id")
@@ -84,15 +99,16 @@ def q_exact_dup_groups(spark, sf_dir):
 def q_shingle_jaccard_pairs(spark, sf_dir):
     from frizbee_spark.operators.textstats import shingle_jaccard_pairs
 
-    return shingle_jaccard_pairs(_docs(spark, sf_dir), k=3, threshold=0.5)
+    return shingle_jaccard_pairs(_docs(spark, sf_dir), k=3, threshold=0.5,
+                                 max_shingle_freq=1000)
 
 
-def q_near_dup_clusters(spark, sf_dir):
-    from frizbee_spark.operators.components import assign_clusters
+def _near_dup_edges(spark, sf_dir):
     from frizbee_spark.operators.textstats import shingle_jaccard_pairs
 
     docs = _docs(spark, sf_dir)
-    jacc = shingle_jaccard_pairs(docs, k=3, threshold=0.5).select("a", "b")
+    jacc = shingle_jaccard_pairs(docs, k=3, threshold=0.5,
+                                 max_shingle_freq=1000).select("a", "b")
     same_md5 = (
         docs.select(F.md5("text").alias("m"), F.col("doc_id"))
         .alias("x")
@@ -100,8 +116,37 @@ def q_near_dup_clusters(spark, sf_dir):
         .filter(F.col("doc_id") < F.col("doc_id2"))
         .select(F.col("doc_id").alias("a"), F.col("doc_id2").alias("b"))
     )
-    edges = jacc.unionByName(same_md5).dropDuplicates(["a", "b"])
+    return docs, jacc.unionByName(same_md5).dropDuplicates(["a", "b"])
+
+
+def q_near_dup_clusters(spark, sf_dir):
+    from frizbee_spark.operators.components import assign_clusters
+
+    docs, edges = _near_dup_edges(spark, sf_dir)
     return assign_clusters(docs, edges)
+
+
+def q_canonical_docs(spark, sf_dir):
+    """One representative per near-dup cluster: the longest doc (ties ->
+    smallest id) — the canonical-pick window operator (SURVEY.md §2.5) on
+    an oracle-expressible cluster definition."""
+    from pyspark.sql.window import Window
+
+    from frizbee_spark.operators.components import assign_clusters
+
+    docs, edges = _near_dup_edges(spark, sf_dir)
+    clus = assign_clusters(docs, edges)
+    joined = docs.select("doc_id", "n_chars").join(clus, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    sizes = clus.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .join(sizes, "cluster_id")
+        .select("cluster_id", F.col("doc_id").alias("rep_doc_id"), "cluster_size")
+    )
 
 
 def q_token_stats(spark, sf_dir):
@@ -134,6 +179,59 @@ def q_embedding_topk(spark, sf_dir):
     return brute_force_topk(_emb(spark, sf_dir), query_ids=[0, 1, 2, 3, 4], k=5)
 
 
+def q_ann_topk(spark, sf_dir):
+    """Sign-LSH bucketed ANN. Few planes + many tables because the fixture
+    embeddings have no planted cluster structure (max pairwise cosine
+    ~0.5): candidate recall is exactly 1.0 at this setting, so the
+    brute-force SQL is a valid oracle (validated at sf0.01)."""
+    from frizbee_spark.operators.similarity import ann_topk
+
+    return ann_topk(_emb(spark, sf_dir), query_ids=[0, 1, 2, 3, 4], k=5,
+                    n_planes=4, n_tables=32)
+
+
+def q_embedding_near_dups(spark, sf_dir):
+    """Embedding near-dup pairs at the fixture's actual cosine scale
+    (threshold 0.45 -> 14 pairs at sf0.01; 0.9 returns nothing — the
+    fixture has no planted duplicates). Oracle = brute-force all-pairs."""
+    from frizbee_spark.operators.similarity import embedding_near_dup_pairs
+
+    return embedding_near_dup_pairs(
+        _emb(spark, sf_dir), threshold=0.45, n_planes=4, n_tables=32
+    ).orderBy("a", "b")
+
+
+def q_media_stats(spark, sf_dir):
+    """Byte-level media stats over the docs' utf-8 payloads. The compared
+    columns (size, Shannon entropy) are DuckDB-expressible; the operator's
+    content_hash column is excluded from the contract query (custom 64-bit
+    family, still pytest-covered)."""
+    from frizbee_spark.operators.multimodal import media_stats
+
+    media = _docs(spark, sf_dir).select(
+        "doc_id", F.encode("text", "utf-8").alias("media")
+    )
+    return media_stats(media, binary_col="media").select(
+        "doc_id", "n_bytes", F.round("entropy", 4).alias("entropy")
+    ).orderBy("doc_id")
+
+
+def q_greedy_match(spark, sf_dir):
+    """The greedy long-document matcher path, forced for every row
+    (route="greedy") so the whole result is oracle-checkable: the oracle
+    is a 16-step recursive CTE simulating the first-match-wins scan
+    (valid because the fixture text is all-lowercase, starts with a
+    non-delimiter, and the only delimiter present is the space)."""
+    from frizbee_spark.constants import MatchConfig
+    from frizbee_spark.operators.fuzzy import fuzzy_match
+
+    return fuzzy_match(
+        _docs(spark, sf_dir), needle=FUZZY_NEEDLE,
+        text_col="text", id_cols=["doc_id"],
+        config=MatchConfig(max_typos=None), limit=100, route="greedy",
+    )
+
+
 # ---------------------------------------------------------------------------
 # queries — non-SQL-expressible (rows-only check)
 # ---------------------------------------------------------------------------
@@ -155,33 +253,15 @@ def q_simhash_pairs(spark, sf_dir):
 
 
 def q_sw_verified_pairs(spark, sf_dir):
-    from frizbee_spark.operators.dedup import (
-        compute_signatures, exact_hash_pairs, lsh_band_pairs, verify_pairs,
-    )
-
-    cfg = _dedup_cfg()
-    docs = _norm_docs(spark, sf_dir)
-    sigs = compute_signatures(docs, cfg)
-    cands = exact_hash_pairs(sigs, cfg).unionByName(
-        lsh_band_pairs(sigs, cfg)
-    ).dropDuplicates(["a", "b"])
-    return verify_pairs(cands, docs, cfg).orderBy("a", "b")
+    return _pipeline_frames(spark, sf_dir)["verified"].orderBy("a", "b")
 
 
 def q_dedup_clusters(spark, sf_dir):
     from frizbee_spark.operators.components import assign_clusters
-    from frizbee_spark.operators.dedup import (
-        compute_signatures, exact_hash_pairs, lsh_band_pairs, verify_pairs,
-    )
 
-    cfg = _dedup_cfg()
-    docs = _norm_docs(spark, sf_dir)
-    sigs = compute_signatures(docs, cfg)
-    cands = exact_hash_pairs(sigs, cfg).unionByName(
-        lsh_band_pairs(sigs, cfg)
-    ).dropDuplicates(["a", "b"])
-    edges = verify_pairs(cands, docs, cfg).filter("verified").select("a", "b")
-    return assign_clusters(docs, edges).orderBy("doc_id")
+    fr = _pipeline_frames(spark, sf_dir)
+    edges = fr["verified"].filter("verified").select("a", "b")
+    return assign_clusters(fr["docs"], edges).orderBy("doc_id")
 
 
 def q_winnow_span_pairs(spark, sf_dir):
@@ -191,35 +271,14 @@ def q_winnow_span_pairs(spark, sf_dir):
 
 
 def q_fuzzy_match(spark, sf_dir):
-    from frizbee_spark.operators.fuzzy import fuzzy_match
     from frizbee_spark.constants import MatchConfig
+    from frizbee_spark.operators.fuzzy import fuzzy_match
 
     return fuzzy_match(
-        _docs(spark, sf_dir), needle="table value data",
+        _docs(spark, sf_dir), needle=FUZZY_NEEDLE,
         text_col="text", id_cols=["doc_id"],
         config=MatchConfig(max_typos=None), limit=100,
     )
-
-
-def q_ann_topk(spark, sf_dir):
-    from frizbee_spark.operators.similarity import ann_topk
-
-    return ann_topk(_emb(spark, sf_dir), query_ids=[0, 1, 2, 3, 4], k=5)
-
-
-def q_embedding_near_dups(spark, sf_dir):
-    from frizbee_spark.operators.similarity import embedding_near_dup_pairs
-
-    return embedding_near_dup_pairs(_emb(spark, sf_dir), threshold=0.9).orderBy("a", "b")
-
-
-def q_media_stats(spark, sf_dir):
-    from frizbee_spark.operators.multimodal import media_stats
-
-    media = _docs(spark, sf_dir).select(
-        "doc_id", F.encode("text", "utf-8").alias("media")
-    )
-    return media_stats(media, binary_col="media").orderBy("doc_id")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -227,20 +286,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dup_groups": q_exact_dup_groups,
         "shingle_jaccard_pairs": q_shingle_jaccard_pairs,
         "near_dup_clusters": q_near_dup_clusters,
+        "canonical_docs": q_canonical_docs,
         "token_stats": q_token_stats,
         "quality_score": q_quality_score,
         "language_id": q_language_id,
         "doc_fingerprint": q_doc_fingerprint,
         "embedding_topk": q_embedding_topk,
+        "ann_topk": q_ann_topk,
+        "embedding_near_dups": q_embedding_near_dups,
+        "media_stats": q_media_stats,
+        "greedy_match": q_greedy_match,
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
         "simhash_pairs": q_simhash_pairs,
         "sw_verified_pairs": q_sw_verified_pairs,
         "dedup_clusters": q_dedup_clusters,
         "winnow_span_pairs": q_winnow_span_pairs,
         "fuzzy_match": q_fuzzy_match,
-        "ann_topk": q_ann_topk,
-        "embedding_near_dups": q_embedding_near_dups,
-        "media_stats": q_media_stats,
     }
 
 
@@ -255,9 +316,11 @@ sh AS (
     FROM toks, unnest(generate_series(1, greatest(len(w) - 2, 1))) AS t(i)
 ),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+rare AS (SELECT sh AS rsh FROM sh GROUP BY sh HAVING count(*) <= 1000),
+capped AS (SELECT doc_id, sh FROM sh JOIN rare ON sh = rsh),
 inter AS (
     SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
-    FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+    FROM capped x JOIN capped y ON x.sh = y.sh AND x.doc_id < y.doc_id
     GROUP BY 1, 2
 ),
 jpairs AS (
@@ -265,6 +328,75 @@ jpairs AS (
     FROM inter
     JOIN sizes sa ON inter.a = sa.doc_id
     JOIN sizes sb ON inter.b = sb.doc_id
+)
+"""
+
+# shared recursive-CTE block: near-dup clusters over jaccard>=0.5 + md5 edges
+_CLUSTER_CTE = f"""
+{_SHINGLE_CTE},
+epairs AS (
+    SELECT x.doc_id AS a, y.doc_id AS b
+    FROM documents x JOIN documents y
+      ON md5(x.text) = md5(y.text) AND x.doc_id < y.doc_id
+),
+edges AS (
+    SELECT a, b FROM jpairs WHERE jaccard >= 0.5
+    UNION SELECT a, b FROM epairs
+),
+bidir AS (
+    SELECT a AS u, b AS v FROM edges
+    UNION SELECT b AS u, a AS v FROM edges
+),
+reach(u, v) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT r.u, d.v FROM reach r JOIN bidir d ON r.v = d.u
+),
+clusters AS (
+    SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u
+)
+"""
+
+# recursive-CTE simulation of the greedy first-match-wins scan
+# (frizbee_spark/functions/oracle.py:match_greedy, reference semantics
+# greedy.rs:9-103) for the pinned all-lowercase needle. Valid because the
+# fixture text is lowercase ASCII, starts with a non-delimiter, and the
+# only delimiter present is ' ' — so the path-dependent flags collapse to
+# position predicates (same argument as the vectorized greedy kernel).
+_GREEDY_CTE = f"""
+WITH RECURSIVE gm(doc_id, l, txt, k, h, score, failed) AS (
+    SELECT doc_id, length(text), text, 0, 0, 0, length(text) < 16
+    FROM documents
+    UNION ALL
+    SELECT doc_id, l, txt, k + 1,
+           CASE WHEN ok THEN p + 1 ELSE h END,
+           CASE WHEN ok THEN
+               greatest(score + 12
+                        - CASE WHEN p > h AND k > 0
+                               THEN 5 + (p - h - 1) ELSE 0 END, 0)
+               + 4
+               + CASE WHEN p = 0 THEN 12 ELSE 0 END
+               + CASE WHEN p > 0 AND substr(txt, p, 1) = ' '
+                           AND nc <> ' ' THEN 4 ELSE 0 END
+           ELSE score END,
+           failed OR NOT ok
+    FROM (
+        SELECT *,
+               CASE WHEN pos1 > 0 AND NOT failed THEN true ELSE false END AS ok,
+               h + pos1 - 1 AS p
+        FROM (
+            SELECT *,
+                   CASE WHEN win_len > 0 AND NOT failed
+                        THEN strpos(substr(txt, h + 1, win_len), nc)
+                        ELSE 0 END AS pos1
+            FROM (
+                SELECT *,
+                       substr('{FUZZY_NEEDLE}', k + 1, 1) AS nc,
+                       (l - 16 + k) - h + 1 AS win_len
+                FROM gm WHERE k < 16
+            )
+        )
+    )
 )
 """
 
@@ -287,26 +419,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT a, b, jaccard FROM jpairs WHERE jaccard >= 0.5
         """,
         "near_dup_clusters": f"""
-            WITH RECURSIVE {_SHINGLE_CTE},
-            epairs AS (
-                SELECT x.doc_id AS a, y.doc_id AS b
-                FROM documents x JOIN documents y
-                  ON md5(x.text) = md5(y.text) AND x.doc_id < y.doc_id
-            ),
-            edges AS (
-                SELECT a, b FROM jpairs WHERE jaccard >= 0.5
-                UNION SELECT a, b FROM epairs
-            ),
-            bidir AS (
-                SELECT a AS u, b AS v FROM edges
-                UNION SELECT b AS u, a AS v FROM edges
-            ),
-            reach(u, v) AS (
-                SELECT doc_id, doc_id FROM documents
-                UNION
-                SELECT r.u, d.v FROM reach r JOIN bidir d ON r.v = d.u
+            WITH RECURSIVE {_CLUSTER_CTE.lstrip()}
+            SELECT doc_id, cluster_id FROM clusters
+        """,
+        "canonical_docs": f"""
+            WITH RECURSIVE {_CLUSTER_CTE.lstrip()},
+            joined AS (
+                SELECT c.cluster_id, c.doc_id, d.n_chars,
+                       row_number() OVER (
+                           PARTITION BY c.cluster_id
+                           ORDER BY d.n_chars DESC, c.doc_id ASC
+                       ) AS rn,
+                       count(*) OVER (PARTITION BY c.cluster_id) AS cluster_size
+                FROM clusters c JOIN documents d ON c.doc_id = d.doc_id
             )
-            SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u
+            SELECT cluster_id, doc_id AS rep_doc_id, cluster_size
+            FROM joined WHERE rn = 1
         """,
         "token_stats": """
             WITH t AS (SELECT doc_id, trim(text) AS tt,
@@ -384,5 +512,67 @@ def oracle_sql() -> dict[str, str]:
                 FROM s
             )
             SELECT query_id, neighbor_id, cosine FROM r WHERE rn <= 5
+        """,
+        # valid oracle because the LSH candidate set provably covered every
+        # true neighbor at this (n_planes, n_tables) on the fixture —
+        # checked empirically and deterministic (fixed hyperplanes)
+        "ann_topk": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+                FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)
+            ),
+            s AS (
+                SELECT q.query_id, e.vec_id AS neighbor_id,
+                       round(list_cosine_similarity(q.qvec, e.embedding::DOUBLE[]), 4)
+                           AS cosine
+                FROM q, embeddings e
+                WHERE e.vec_id != q.query_id
+            ),
+            r AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+                ) AS rn
+                FROM s
+            )
+            SELECT query_id, neighbor_id, cosine FROM r WHERE rn <= 5
+        """,
+        "embedding_near_dups": """
+            SELECT x.vec_id AS a, y.vec_id AS b,
+                   round(list_cosine_similarity(
+                       x.embedding::DOUBLE[], y.embedding::DOUBLE[]), 4) AS cosine
+            FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+            WHERE round(list_cosine_similarity(
+                      x.embedding::DOUBLE[], y.embedding::DOUBLE[]), 4) >= 0.45
+        """,
+        "media_stats": """
+            WITH n AS (
+                SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents
+            ),
+            c AS (
+                SELECT doc_id, ch, count(*) AS cnt
+                FROM (SELECT doc_id, unnest(string_split(text, '')) AS ch
+                      FROM documents)
+                GROUP BY doc_id, ch
+            ),
+            e AS (
+                SELECT c.doc_id,
+                       -sum((cnt * 1.0 / n.n_bytes) * log2(cnt * 1.0 / n.n_bytes))
+                           AS ent
+                FROM c JOIN n ON c.doc_id = n.doc_id
+                GROUP BY c.doc_id
+            )
+            SELECT n.doc_id, n.n_bytes,
+                   round(coalesce(e.ent, 0.0), 4) AS entropy
+            FROM n LEFT JOIN e ON n.doc_id = e.doc_id
+        """,
+        "greedy_match": f"""
+            {_GREEDY_CTE}
+            SELECT doc_id,
+                   CASE WHEN failed THEN 0 ELSE score END AS score,
+                   0 AS typos,
+                   false AS exact
+            FROM gm WHERE k = 16
+            ORDER BY score DESC, doc_id ASC
+            LIMIT 100
         """,
     }

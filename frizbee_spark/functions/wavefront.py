@@ -292,14 +292,25 @@ def sw_score_banded(
     ).astype(dtype)
     h0_nonalpha = ~((hs[:, 0] >= 65) & (hs[:, 0] <= 90)) & ~((hs[:, 0] >= 97) & (hs[:, 0] <= 122))
     h0_nonalpha &= wlens > 0
-    n_upper_i8 = n_upper.astype(np.int8)
-    h_upper_i8 = h_upper.astype(np.int8)
+
+    # POSITION-MAJOR layout (the reference's interleave insight, K6:
+    # interleave/mod.rs:10-34 — position i of all lanes contiguous): every
+    # per-diagonal operand below is a (band_width, bsz) slice whose inner
+    # axis is the whole batch, so each ufunc runs ~band_width long SIMD
+    # loops instead of bsz tiny ones. Measured ~4x over the batch-major
+    # layout at bsz=1024. Haystack-side rows are also pre-reversed so
+    # diagonal slices are plain row ranges: rev[t] == orig[w_max - 1 - t].
+    n_low_T = np.ascontiguousarray(n_low.T)
+    h_low_rev_T = np.ascontiguousarray(h_low.T[::-1])
+    static_bonus_rev_T = np.ascontiguousarray(static_bonus.T[::-1])
+    n_upper_i8_T = np.ascontiguousarray(n_upper.astype(np.int8).T)
+    h_upper_i8_rev_T = np.ascontiguousarray(h_upper.astype(np.int8).T[::-1])
 
     # rolling buffers indexed by slot = i + 1 (slot 0 is a permanent zero);
     # invariant: outside the diagonal's written window every H slot is zero
     # and every gap-open mask slot is True (fresh gaps pay the open
     # penalty, as at the start of every scalar column)
-    shape = (bsz, n_max + 2)
+    shape = (n_max + 2, bsz)
     h_prev = np.zeros(shape, dtype=dtype)   # diag d-1
     h_prev2 = np.zeros(shape, dtype=dtype)  # diag d-2
     u_prev = np.ones(shape, dtype=bool)
@@ -310,10 +321,31 @@ def sw_score_banded(
     best = np.zeros(bsz, dtype=dtype)
     # dtype-scalar penalties keep every intermediate in the small dtype
     go, ge = dtype(scoring.gap_open_penalty), dtype(scoring.gap_extend_penalty)
+    go_minus_ge = dtype(scoring.gap_open_penalty - scoring.gap_extend_penalty)
+    zero = dtype(0)
     mcb = scoring.matching_case_bonus
     mismatch = dtype(scoring.mismatch_penalty)
-    nlens_col = nlens[:, None]
-    wlens_col = wlens[:, None]
+    nlens_row = nlens[None, :]
+    wlens_row = wlens[None, :]
+    iv_all = np.arange(n_max, dtype=np.int64)
+
+    # preallocated per-diagonal scratch, sliced to the band width each
+    # round (avoids ~15 allocations per diagonal)
+    bw = min(R + 2, n_max) + 1
+    sc = {
+        "im": np.empty((bw, bsz), dtype=bool),
+        "dt": np.empty((bw, bsz), dtype=bool),
+        "v2": np.empty((bw, bsz), dtype=bool),
+        "un": np.empty((bw, bsz), dtype=bool),
+        "ln": np.empty((bw, bsz), dtype=bool),
+        "d1": np.empty((bw, bsz), dtype=dtype),
+        "d2": np.empty((bw, bsz), dtype=dtype),
+        "pen": np.empty((bw, bsz), dtype=dtype),
+        "u": np.empty((bw, bsz), dtype=dtype),
+        "l": np.empty((bw, bsz), dtype=dtype),
+        "mx": np.empty((bw, bsz), dtype=dtype),
+        "bo": np.empty((bw, bsz), dtype=dtype),
+    }
 
     for d in range(n_max + w_max - 1):
         # band |j - i| <= R with j = d - i  =>  (d - R) / 2 <= i <= (d + R) / 2
@@ -322,53 +354,79 @@ def sw_score_banded(
         if i_lo > i_hi:
             break  # band has left the matrix; later diagonals are empty too
         j_hi, j_lo = d - i_lo, d - i_hi  # j decreases as i increases
+        wd = i_hi - i_lo + 1
 
-        # contiguous/strided views — no advanced-indexing copies
-        nl = n_low[:, i_lo : i_hi + 1]
-        hl = h_low[:, j_lo : j_hi + 1][:, ::-1]
-        is_match = nl == hl
-        if assume_folded:
-            bonus = static_bonus[:, j_lo : j_hi + 1][:, ::-1].copy()
-        else:
-            bonus = static_bonus[:, j_lo : j_hi + 1][:, ::-1] + mcb * (
-                n_upper_i8[:, i_lo : i_hi + 1] == h_upper_i8[:, j_lo : j_hi + 1][:, ::-1]
-            ).astype(dtype)
+        r_lo, r_hi = w_max - 1 - j_hi, w_max - j_lo
+        nl = n_low_T[i_lo : i_hi + 1]
+        hl = h_low_rev_T[r_lo:r_hi]
+        is_match = np.equal(nl, hl, out=sc["im"][:wd])
+        bonus = sc["bo"][:wd]
+        np.copyto(bonus, static_bonus_rev_T[r_lo:r_hi])
+        if not assume_folded:
+            np.equal(
+                n_upper_i8_T[i_lo : i_hi + 1], h_upper_i8_rev_T[r_lo:r_hi],
+                out=sc["v2"][:wd],
+            )
+            bonus += mcb * sc["v2"][:wd]
 
         # prefix / offset-prefix patches hit at most the last two cells
-        # (j == 0 at i == d, j == 1 at i == d - 1); bonus is a fresh array
+        # (j == 0 at i == d, j == 1 at i == d - 1)
         if j_lo == 0:
-            bonus[:, -1] += scoring.prefix_bonus
+            bonus[-1] += scoring.prefix_bonus
         if j_lo <= 1 <= j_hi:
             # offset-prefix requires prev column's first cell == 0 and a
             # non-alphabetic first haystack char (algorithm.rs:33-34)
-            col0_prev = h_prev2[:, d - 1] if d >= 1 else np.zeros(bsz, dtype=dtype)
-            bonus[:, (d - 1) - i_lo] += np.where(
+            col0_prev = h_prev2[d - 1] if d >= 1 else np.zeros(bsz, dtype=dtype)
+            bonus[(d - 1) - i_lo] += np.where(
                 (col0_prev == 0) & h0_nonalpha, scoring.offset_prefix_bonus, 0
             ).astype(dtype)
 
-        diag_in = h_prev2[:, i_lo : i_hi + 1]
-        left_in = h_prev[:, i_lo : i_hi + 1]
-        up_in = h_prev[:, i_lo + 1 : i_hi + 2]
-        u_open = u_prev[:, i_lo + 1 : i_hi + 2]
-        l_open = l_prev[:, i_lo + 1 : i_hi + 2]
+        diag_in = h_prev2[i_lo : i_hi + 1]
+        left_in = h_prev[i_lo : i_hi + 1]
+        up_in = h_prev[i_lo + 1 : i_hi + 2]
+        u_open = u_prev[i_lo + 1 : i_hi + 2]
+        l_open = l_prev[i_lo + 1 : i_hi + 2]
 
-        diag_score = np.where(
-            is_match,
-            diag_in + bonus,
-            np.maximum(diag_in - mismatch, 0),
-        )
+        # diag_score -> d1: max(diag - mismatch, 0), overwritten with
+        # diag + bonus where the chars match
+        d1 = sc["d1"][:wd]
+        np.subtract(diag_in, mismatch, out=d1)
+        np.maximum(d1, zero, out=d1)
+        d2 = sc["d2"][:wd]
+        np.add(diag_in, bonus, out=d2)
+        np.copyto(d1, d2, where=is_match)
+
         # out-of-band up/left neighbors carry score 0 by the buffer
-        # invariant; a zero minus any penalty clamps to 0, so no masking
-        up_score = np.maximum(up_in - np.where(u_open, go, ge), 0)
-        left_score = np.maximum(left_in - np.where(l_open, go, ge), 0)
+        # invariant; a zero minus any penalty clamps to 0, so no masking.
+        # penalty = ge + open_flag * (go - ge), computed in place
+        pen = sc["pen"][:wd]
+        np.multiply(u_open, go_minus_ge, out=pen, casting="unsafe")
+        pen += ge
+        up_score = sc["u"][:wd]
+        np.subtract(up_in, pen, out=up_score)
+        np.maximum(up_score, zero, out=up_score)
 
-        maxv = np.maximum(diag_score, np.maximum(up_score, left_score))
-        iv = np.arange(i_lo, i_hi + 1)
-        valid = (iv < nlens_col) & ((d - iv) < wlens_col)
+        np.multiply(l_open, go_minus_ge, out=pen, casting="unsafe")
+        pen += ge
+        left_score = sc["l"][:wd]
+        np.subtract(left_in, pen, out=left_score)
+        np.maximum(left_score, zero, out=left_score)
+
+        maxv = sc["mx"][:wd]
+        np.maximum(d1, up_score, out=maxv)
+        np.maximum(maxv, left_score, out=maxv)
+
+        iv = iv_all[i_lo : i_hi + 1]
+        valid = sc["v2"][:wd]
+        np.less(iv[:, None], nlens_row, out=valid)
+        valid &= (d - iv)[:, None] < wlens_row
         maxv *= valid  # zero out cells past either string's real length
-        diag_taken = maxv == diag_score
-        u_new = (maxv != up_score) | diag_taken
-        l_new = (maxv != left_score) | diag_taken
+
+        diag_taken = np.equal(maxv, d1, out=sc["dt"][:wd])
+        u_new = np.not_equal(maxv, up_score, out=sc["un"][:wd])
+        u_new |= diag_taken
+        l_new = np.not_equal(maxv, left_score, out=sc["ln"][:wd])
+        l_new |= diag_taken
 
         # rotate: the d-2 H buffer is recycled for the current diagonal;
         # clear whatever it held outside the new window
@@ -376,24 +434,24 @@ def sw_score_banded(
         lo_s, hi_s = i_lo + 1, i_hi + 2
         plo, phi = win_prev2
         if plo < lo_s:
-            h_cur[:, plo : min(lo_s, phi)] = 0
+            h_cur[plo : min(lo_s, phi)] = 0
         if phi > hi_s:
-            h_cur[:, max(hi_s, plo) : phi] = 0
-        h_cur[:, lo_s:hi_s] = maxv
+            h_cur[max(hi_s, plo) : phi] = 0
+        h_cur[lo_s:hi_s] = maxv
 
         # masks: only diag d-1 is ever read, so overwrite in place (reads
         # above are already materialized), resetting stale cells to True
         mplo, mphi = win_prev
         if mplo < lo_s:
-            u_prev[:, mplo : min(lo_s, mphi)] = True
-            l_prev[:, mplo : min(lo_s, mphi)] = True
+            u_prev[mplo : min(lo_s, mphi)] = True
+            l_prev[mplo : min(lo_s, mphi)] = True
         if mphi > hi_s:
-            u_prev[:, max(hi_s, mplo) : mphi] = True
-            l_prev[:, max(hi_s, mplo) : mphi] = True
-        u_prev[:, lo_s:hi_s] = u_new
-        l_prev[:, lo_s:hi_s] = l_new
+            u_prev[max(hi_s, mplo) : mphi] = True
+            l_prev[max(hi_s, mplo) : mphi] = True
+        u_prev[lo_s:hi_s] = u_new
+        l_prev[lo_s:hi_s] = l_new
 
-        best = np.maximum(best, maxv.max(axis=1))
+        np.maximum(best, maxv.max(axis=0), out=best)
 
         h_prev2 = h_prev
         h_prev = h_cur

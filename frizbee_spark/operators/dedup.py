@@ -162,13 +162,22 @@ def compute_signatures(
     bands, rows = cfg.bands, cfg.band_rows
 
     def run(batches):
+        from ..functions.hashing import compute_signature_arrays
+
         for pdf in batches:
             texts = [t.encode("utf-8") for t in pdf["_t"].tolist()]
-            buf, starts = concat_docs(texts, min_len=k)
-            sh, sst = char_shingle_hashes(buf, starts, k)
-            sig = minhash_signatures(sh, sst, num_perm)
-            bnd = band_hashes(sig, bands, rows)
-            sim = simhash64(sh, sst)
+            if keep_minhash:
+                # unfused path: the raw signature matrix is requested
+                buf, starts = concat_docs(texts, min_len=k)
+                sh, sst = char_shingle_hashes(buf, starts, k)
+                sig = minhash_signatures(sh, sst, num_perm)
+                bnd = band_hashes(sig, bands, rows)
+                sim = simhash64(sh, sst)
+            else:
+                # fused single pass (shingles stay cache-resident)
+                bnd, sim = compute_signature_arrays(
+                    texts, k, num_perm, bands, rows
+                )
             out = pdf[["doc_id", "text_hash", "n_bytes"]].copy()
             if keep_minhash:
                 out["minhash"] = list(sig.view(np.int64))
@@ -213,7 +222,12 @@ def pairs_from_buckets(
     """
     keys = [F.col(c) for c in key_cols]
     sizes = bucketed.groupBy(*keys).agg(F.count("*").alias("_bsz"))
-    work = bucketed.join(sizes.filter(F.col("_bsz") > 1), key_cols)
+    # `work` feeds four downstream branches (dense self-join x2, chain/star
+    # window, salt representatives); persist it so the bucket input — which
+    # may be an expensive UDF output (e.g. winnowing fingerprints) — is
+    # computed once, not once per branch. MEMORY_AND_DISK, LRU-evicted;
+    # rows are (key, doc_id, size) only.
+    work = bucketed.join(sizes.filter(F.col("_bsz") > 1), key_cols).persist()
 
     small = work.filter(F.col("_bsz") <= cfg.dense_cap)
     dense = (
@@ -340,7 +354,7 @@ def unified_candidate_pairs(
             "a", "b",
             F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))).alias("_ham"),
         )
-    )
+    ).persist()  # consumed twice by the degree-cap union below
     # per-doc degree cap (see DedupConfig.degree_cap): rank each doc's
     # partners by (Hamming, partner id); an edge survives if EITHER
     # endpoint ranks it within the cap
@@ -391,6 +405,7 @@ def simhash_pairs(signatures: DataFrame, cfg: DedupConfig = DEFAULT_DEDUP) -> Da
 def winnow_span_pairs(
     docs: DataFrame, cfg: DedupConfig = DEFAULT_DEDUP,
     id_col: str = "doc_id", text_col: str = "norm_text",
+    confirm: bool = True,
 ) -> DataFrame:
     """Long-exact-span candidate pairs via winnowing fingerprints.
 
@@ -399,6 +414,18 @@ def winnow_span_pairs(
     (winnowing guarantee); requiring `span_min_shared` shared fingerprints
     suppresses chance collisions. Only docs >= span_min_len enter (the
     cost-based routing precedent of one_shot/mod.rs:20-25).
+
+    With ``confirm`` (default), each candidate pair is byte-verified: the
+    pair's texts are rejoined and an actual common ``span_shingle_k``-gram
+    is located and compared byte-for-byte, closing the fingerprint-
+    collision loophole — output gains a ``span_confirmed`` column. This
+    runs only on the (small) candidate-pair table, not the corpus.
+
+    Span pairs are a standalone deliverable ("these documents share a
+    long exact span") and are deliberately NOT fed into near-dup
+    clustering: a shared boilerplate block does not make two documents
+    near-duplicates (verify_pairs would correctly score them below the
+    similarity threshold anyway).
     """
     k, win = cfg.span_shingle_k, cfg.winnow_window
     work = docs.filter(F.octet_length(F.col(text_col)) >= cfg.span_min_len).select(
@@ -417,12 +444,44 @@ def winnow_span_pairs(
                 {"doc_id": np.repeat(ids, counts), "fp": fp.view(np.int64)}
             )
 
-    fps = work.mapInPandas(run, schema="doc_id long, fp long")
+    # persist: pairs_from_buckets scans its input from several plan
+    # branches — without this the winnowing UDF re-executes per branch
+    fps = work.mapInPandas(run, schema="doc_id long, fp long").persist()
     # a pair co-occurring in m fingerprint buckets shares >= m fingerprints
-    return (
+    pairs = (
         pairs_from_buckets(fps.select("fp", "doc_id"), ["fp"], cfg, keep_multiplicity=True)
         .groupBy("a", "b").agg(F.count("*").alias("shared_fps"))
         .filter(F.col("shared_fps") >= cfg.span_min_shared)
+    )
+    if not confirm:
+        return pairs
+
+    d = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t"))
+    joined = (
+        pairs.join(d.withColumnsRenamed({"doc_id": "a", "_t": "_ta"}), "a")
+        .join(d.withColumnsRenamed({"doc_id": "b", "_t": "_tb"}), "b")
+    )
+
+    def run_confirm(batches):
+        for pdf in batches:
+            conf = np.zeros(len(pdf), dtype=bool)
+            for i, (ta, tb) in enumerate(zip(pdf["_ta"], pdf["_tb"])):
+                ba, bb = ta.encode("utf-8"), tb.encode("utf-8")
+                ha, _ = char_shingle_hashes(*concat_docs([ba], min_len=k), k)
+                hb, _ = char_shingle_hashes(*concat_docs([bb], min_len=k), k)
+                common, ia, ib = np.intersect1d(ha, hb, return_indices=True)
+                for ci in range(min(common.size, 4)):
+                    pa, pb = int(ia[ci]), int(ib[ci])
+                    if ba[pa : pa + k] == bb[pb : pb + k]:
+                        conf[i] = True
+                        break
+            out = pdf[["a", "b", "shared_fps"]].copy()
+            out["span_confirmed"] = conf
+            yield out
+
+    return joined.mapInPandas(
+        run_confirm,
+        schema="a long, b long, shared_fps long, span_confirmed boolean",
     )
 
 
@@ -483,7 +542,8 @@ def verify_pairs(
                 & (F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb")))
                    > cfg.verify_hamming_reject),
             )
-        )
+        ).persist()  # three consumers (exact / reject / survivors): without
+        # this the candidate-generation plan upstream re-executes per branch
         pre_exact = tagged.filter("_exact").select(
             "a", "b",
             F.lit(0).cast("long").alias("score"),
@@ -510,49 +570,113 @@ def verify_pairs(
 
     radius, thresh = cfg.band_radius, cfg.sim_threshold
 
+    def process(pdf):
+        n = len(pdf)
+        ta = [t.encode("utf-8") for t in pdf["_ta"].tolist()]
+        tb = [t.encode("utf-8") for t in pdf["_tb"].tolist()]
+        exact = pdf["_ha"].to_numpy() == pdf["_hb"].to_numpy()
+        scores = np.zeros(n, dtype=np.int64)
+        sims = np.zeros(n, dtype=np.float64)
+        sims[exact] = 1.0
+
+        todo = np.flatnonzero(~exact)
+        if todo.size:
+            lens = np.array([max(len(ta[i]), len(tb[i])) for i in todo])
+            order = todo[np.argsort(lens, kind="stable")]
+            # length-ladder sub-batching: pad within a 2x length ribbon
+            start = 0
+            while start < order.size:
+                w0 = max(len(ta[order[start]]), len(tb[order[start]]))
+                stop = start + 1
+                while stop < order.size:
+                    w = max(len(ta[order[stop]]), len(tb[order[stop]]))
+                    if w > max(2 * w0, w0 + 256) or stop - start >= 512:
+                        break
+                    stop += 1
+                sel = order[start:stop]
+                a_b = [ta[i] for i in sel]
+                b_b = [tb[i] for i in sel]
+                s = sw_score_banded(a_b, b_b, band_radius=radius, assume_folded=True)
+                self_a = self_scores_batch(a_b)
+                self_b = self_scores_batch(b_b)
+                sims[sel] = normalized_similarity(s, self_a, self_b)
+                scores[sel] = s
+                start = stop
+
+        out = pdf[["a", "b"]].copy()
+        out["score"] = scores
+        out["similarity"] = sims
+        out["exact"] = exact
+        out["verified"] = exact | (sims >= thresh)
+        return out
+
+    # coalesce Arrow batches to >= TARGET pairs before running the kernel:
+    # the wavefront's per-diagonal dispatch overhead amortizes over the
+    # sub-batch width, and small batches are 5x slower per pair (measured
+    # 34 ms/pair at 8 rows vs 6.4 at 256+). This decouples kernel batch
+    # size from however finely AQE split the join output.
+    TARGET = 4096
+
     def run(batches):
+        buf, rows = [], 0
         for pdf in batches:
-            n = len(pdf)
-            ta = [t.encode("utf-8") for t in pdf["_ta"].tolist()]
-            tb = [t.encode("utf-8") for t in pdf["_tb"].tolist()]
-            exact = pdf["_ha"].to_numpy() == pdf["_hb"].to_numpy()
-            scores = np.zeros(n, dtype=np.int64)
-            sims = np.zeros(n, dtype=np.float64)
-            sims[exact] = 1.0
-
-            todo = np.flatnonzero(~exact)
-            if todo.size:
-                lens = np.array([max(len(ta[i]), len(tb[i])) for i in todo])
-                order = todo[np.argsort(lens, kind="stable")]
-                # length-ladder sub-batching: pad within a 2x length ribbon
-                start = 0
-                while start < order.size:
-                    w0 = max(len(ta[order[start]]), len(tb[order[start]]))
-                    stop = start + 1
-                    while stop < order.size:
-                        w = max(len(ta[order[stop]]), len(tb[order[stop]]))
-                        if w > max(2 * w0, w0 + 256) or stop - start >= 256:
-                            break
-                        stop += 1
-                    sel = order[start:stop]
-                    a_b = [ta[i] for i in sel]
-                    b_b = [tb[i] for i in sel]
-                    s = sw_score_banded(a_b, b_b, band_radius=radius, assume_folded=True)
-                    self_a = self_scores_batch(a_b)
-                    self_b = self_scores_batch(b_b)
-                    sims[sel] = normalized_similarity(s, self_a, self_b)
-                    scores[sel] = s
-                    start = stop
-
-            out = pdf[["a", "b"]].copy()
-            out["score"] = scores
-            out["similarity"] = sims
-            out["exact"] = exact
-            out["verified"] = exact | (sims >= thresh)
-            yield out
+            buf.append(pdf)
+            rows += len(pdf)
+            if rows >= TARGET:
+                yield process(pd.concat(buf, ignore_index=True))
+                buf, rows = [], 0
+        if buf:
+            yield process(pd.concat(buf, ignore_index=True))
 
     schema = "a long, b long, score long, similarity double, exact boolean, verified boolean"
     result = joined.mapInPandas(run, schema=schema)
     if pre_exact is not None:
         result = result.unionByName(pre_exact).unionByName(pre_reject)
     return result
+
+
+def explain_pair(
+    docs: DataFrame,
+    id_a: int,
+    id_b: int,
+    cfg: DedupConfig = DEFAULT_DEDUP,
+    id_col: str = "doc_id",
+    text_col: str = "norm_text",
+) -> dict:
+    """Single-pair alignment explain over the documents table (the
+    doc-pair analog of the reference's deliberately-unoptimized
+    ``match_indices`` debug path, src/one_shot/indices.rs:10-56 — call
+    sparingly, e.g. for one flagged pair, never in a pipeline).
+
+    Returns a dict with the full SW score, normalized similarity, typo
+    count, the aligned positions of doc_a's bytes inside doc_b, and the
+    verify verdict at the pipeline's threshold.
+    """
+    from ..functions.oracle import (
+        indices_from_score_matrix, self_score, smith_waterman,
+        typos_from_score_matrix,
+    )
+
+    rows = {
+        r[id_col]: r[text_col]
+        for r in docs.filter(F.col(id_col).isin([id_a, id_b]))
+        .select(id_col, text_col).collect()
+    }
+    if id_a not in rows or id_b not in rows:
+        raise KeyError(f"doc ids {id_a}/{id_b} not found")
+    ta, tb = rows[id_a].encode("utf-8"), rows[id_b].encode("utf-8")
+    score, matrix, exact = smith_waterman(ta, tb)
+    sim = (
+        1.0 if exact else
+        2.0 * score / max(self_score(ta) + self_score(tb), 1)
+    )
+    return {
+        "a": id_a,
+        "b": id_b,
+        "score": int(score),
+        "similarity": round(float(min(sim, 1.0)), 4),
+        "exact": bool(exact),
+        "typos": int(typos_from_score_matrix(matrix)),
+        "indices": indices_from_score_matrix(matrix),
+        "verified": bool(exact or sim >= cfg.sim_threshold),
+    }

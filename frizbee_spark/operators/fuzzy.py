@@ -209,31 +209,221 @@ def match_indices(
     return MatchIndices(score, indices_from_score_matrix(matrix), exact)
 
 
+class _IncrementalBucket:
+    """Pre-interleaved haystack bucket with cached DP columns
+    (reference: src/incremental/bucket.rs:49-122).
+
+    Haystacks are padded to the bucket width and stored POSITION-MAJOR
+    (``(W, B)`` — the interleave of interleave/mod.rs:10-34), with the
+    static per-position bonus columns precomputed once. Each needle char
+    appends one H column computed with the scalar recurrence vectorized
+    across the B lanes; on a new needle only the columns after the shared
+    prefix are recomputed (``extend_to`` truncates + extends).
+    """
+
+    def __init__(self, positions: np.ndarray, texts: list[bytes], width: int,
+                 scoring):
+        from ..functions.wavefront import _char_classes, _haystack_bonus_cols, _pad_bytes
+
+        self.positions = positions          # global indices of these rows
+        self.texts = texts
+        self.scoring = scoring
+        hs, self.lens = _pad_bytes(texts, width=max(width, 1))
+        h_low, h_upper, h_lower, h_delim = _char_classes(hs, scoring.delimiters)
+        delim_b, cap_b = _haystack_bonus_cols(h_upper, h_lower, h_delim, scoring)
+        # position-major statics: row j = haystack position j, lanes contiguous
+        self.h_low_T = np.ascontiguousarray(h_low.T)
+        self.h_upper_T = np.ascontiguousarray(h_upper.T)
+        self.static_bonus_T = np.ascontiguousarray((delim_b + cap_b).T).astype(np.int32)
+        self.h0_nonalpha = ~(
+            ((hs[:, 0] >= 65) & (hs[:, 0] <= 90))
+            | ((hs[:, 0] >= 97) & (hs[:, 0] <= 122))
+        ) & (self.lens > 0)
+        self.valid_T = np.ascontiguousarray(
+            (np.arange(hs.shape[1])[None, :] < self.lens[:, None]).T
+        )
+        self.columns: list[np.ndarray] = []   # H column per needle char, (W, B)
+        self.col_best: list[np.ndarray] = []  # running cell max per lane
+        self.needle: bytes = b""
+
+    def extend_to(self, nb: bytes) -> int:
+        """Reuse shared-prefix columns; compute only the new ones.
+        Returns the number of columns computed (the reuse metric)."""
+        cp = 0
+        limit = min(len(nb), len(self.needle), len(self.columns))
+        while cp < limit and nb[cp] == self.needle[cp]:
+            cp += 1
+        del self.columns[cp:]
+        del self.col_best[cp:]
+        computed = 0
+        for i in range(cp, len(nb)):
+            self._append_column(nb[i])
+            computed += 1
+        self.needle = nb
+        return computed
+
+    def _append_column(self, nc: int) -> None:
+        sc = self.scoring
+        W, B = self.h_low_T.shape
+        i = len(self.columns)
+        prev_col = self.columns[-1] if i else np.zeros((W, B), dtype=np.int32)
+        cur = np.empty((W, B), dtype=np.int32)
+
+        n_upper = 65 <= nc <= 90
+        nc_low = nc + 32 if n_upper else nc
+        go, ge = sc.gap_open_penalty, sc.gap_extend_penalty
+
+        up_prev = np.zeros(B, dtype=np.int32)
+        up_open = np.ones(B, dtype=bool)
+        left_open = np.ones(B, dtype=bool)
+        zero = np.int32(0)
+
+        for j in range(W):
+            is_match = self.h_low_T[j] == nc_low
+            msco = sc.match_score
+            if j == 0:
+                diag = zero
+                msco_row = msco + sc.prefix_bonus
+                bonus = msco_row + np.where(
+                    self.h_upper_T[j] == n_upper, sc.matching_case_bonus, 0
+                )
+            else:
+                diag = prev_col[j - 1]
+                bonus = msco + self.static_bonus_T[j] + np.where(
+                    self.h_upper_T[j] == n_upper, sc.matching_case_bonus, 0
+                )
+                if j == 1:
+                    bonus = bonus + np.where(
+                        (prev_col[0] == 0) & self.h0_nonalpha,
+                        sc.offset_prefix_bonus, 0,
+                    )
+            diag_score = np.where(
+                is_match, diag + bonus,
+                np.maximum(diag - sc.mismatch_penalty, zero),
+            )
+            up_score = np.maximum(up_prev - np.where(up_open, go, ge), zero)
+            left = prev_col[j]
+            left_score = np.maximum(left - np.where(left_open, go, ge), zero)
+            mx = np.maximum(diag_score, np.maximum(up_score, left_score))
+            diag_taken = mx == diag_score
+            up_open = (mx != up_score) | diag_taken
+            left_open = (mx != left_score) | diag_taken
+            up_prev = mx
+            cur[j] = mx
+
+        cur *= self.valid_T  # zero cells past each lane's real length
+        self.columns.append(cur)
+        prev_best = self.col_best[-1] if self.col_best else np.zeros(B, dtype=np.int32)
+        self.col_best.append(np.maximum(prev_best, cur.max(axis=0)))
+
+
 class IncrementalMatcher:
     """Keystroke-to-keystroke matcher over a fixed haystack list
     (reference: src/incremental/matcher.rs:6-118).
 
-    The reference pre-interleaves every bucket once and reuses DP columns
-    of the shared needle prefix. Here the expensive prep (byte padding +
-    bucket routing) is cached at construction and results are memoized by
-    needle, so a backspace (prefix revisit) is free; scores are identical
-    to :func:`match_list` with sorting enabled.
+    Haystacks are pre-interleaved into length buckets once at
+    construction; every keystroke reuses the cached DP columns of the
+    shared needle prefix and computes only the new columns
+    (reference: src/incremental/matcher.rs:89-118, bucket.rs:49-122) —
+    "ab" -> "abc" computes exactly one column per bucket
+    (``stats["columns_computed"]`` instruments this). Results are
+    identical to :func:`match_list` with sorting enabled; oversized
+    haystacks route through the (stateless, batched) greedy matcher per
+    keystroke, as in the reference.
     """
 
     def __init__(self, haystacks: list[str], config: MatchConfig = DEFAULT_CONFIG):
         self.config = config
         self.haystacks = haystacks
         self._texts = [h.encode() for h in haystacks]
-        self._memo: dict[bytes, list[Match]] = {}
+        self._lens = np.fromiter((len(t) for t in self._texts), dtype=np.int64,
+                                 count=len(self._texts))
+        self.stats = {"columns_computed": 0, "needles": 0}
+
+        ladder = np.array(LENGTH_BUCKETS)
+        self._buckets: list[_IncrementalBucket] = []
+        dp_rows = np.flatnonzero(self._lens <= LENGTH_BUCKETS[-1])
+        if dp_rows.size:
+            which = np.searchsorted(ladder, self._lens[dp_rows])
+            for b in np.unique(which):
+                rows = dp_rows[which == b]
+                self._buckets.append(_IncrementalBucket(
+                    rows, [self._texts[r] for r in rows], int(ladder[b]),
+                    config.scoring,
+                ))
+        self._greedy_rows = np.flatnonzero(self._lens > LENGTH_BUCKETS[-1])
 
     def match_needle(self, needle: str | bytes) -> list[Match]:
+        from ..functions.wavefront import _typos_batch, greedy_batch
+
         nb = needle.encode() if isinstance(needle, str) else bytes(needle)
-        hit = self._memo.get(nb)
-        if hit is not None:
-            return hit
-        result = match_list(nb, self.haystacks, self.config)
-        self._memo[nb] = result
-        return result
+        cfg = self.config
+        self.stats["needles"] += 1
+        n = len(nb)
+        count = len(self._texts)
+        if n == 0:
+            out = [Match(int(i), 0, False) for i in range(count)]
+            return out
+
+        scores = np.zeros(count, dtype=np.int64)
+        typos = np.zeros(count, dtype=np.int64)
+        exact = np.zeros(count, dtype=bool)
+        keep = np.ones(count, dtype=bool)
+        is_greedy = np.zeros(count, dtype=bool)
+
+        # per-needle routing, as in match_list_arrays: oversized DP
+        # matrices go greedy even for bucketed rows
+        route_greedy = (n * self._lens > SW_MAX_CELLS) | (
+            self._lens > LENGTH_BUCKETS[-1]
+        )
+        is_greedy[:] = route_greedy
+
+        for bkt in self._buckets:
+            self.stats["columns_computed"] += bkt.extend_to(nb)
+            rows = bkt.positions
+            scores[rows] = bkt.col_best[-1]
+            ex = np.array([t == nb for t in bkt.texts], dtype=bool)
+            exact[rows] = ex
+            scores[rows] += np.where(ex, cfg.scoring.exact_match_bonus, 0)
+            if cfg.max_typos is not None:
+                W, B = bkt.h_low_T.shape
+                H = np.zeros((B, n + 1, W + 1), dtype=np.int32)
+                for i, col in enumerate(bkt.columns):
+                    H[:, i + 1, 1:] = col.T
+                typos[rows] = _typos_batch(
+                    H, np.full(B, n, dtype=np.int64), bkt.lens
+                )
+
+        g_rows = np.flatnonzero(is_greedy)
+        if g_rows.size:
+            gs, ge_ = greedy_batch(nb, [self._texts[r] for r in g_rows],
+                                   cfg.scoring)
+            scores[g_rows] = gs
+            exact[g_rows] = ge_
+            typos[g_rows] = 0
+
+        if cfg.max_typos is not None:
+            keep &= self._lens >= max(0, n - cfg.max_typos)
+            if cfg.prefilter and keep.any():
+                w = int(self._lens[keep].max()) if keep.any() else 1
+                padded = np.zeros((count, max(w, 1)), dtype=np.uint8)
+                for k in np.flatnonzero(keep):
+                    t = self._texts[k]
+                    padded[k, : min(len(t), w)] = np.frombuffer(t[:w], dtype=np.uint8)
+                keep_idx = np.flatnonzero(keep)
+                ok = _char_count_prefilter(
+                    padded[keep_idx], self._lens[keep_idx], nb, cfg.max_typos
+                )
+                keep[keep_idx] = ok
+            # typo budget (greedy rows bypass it, as in match_list_arrays)
+            keep &= (typos <= cfg.max_typos) | is_greedy
+
+        pos = np.flatnonzero(keep)
+        s, e = scores[pos], exact[pos]
+        if cfg.sort and pos.size:
+            order = np.lexsort((pos, -s))
+            pos, s, e = pos[order], s[order], e[order]
+        return [Match(int(p), int(v), bool(x)) for p, v, x in zip(pos, s, e)]
 
 
 # --------------------------------------------------------------------------
@@ -247,6 +437,7 @@ def fuzzy_match(
     id_cols: list[str] | None = None,
     config: MatchConfig = DEFAULT_CONFIG,
     limit: int | None = None,
+    route: str = "auto",
 ):
     """Distributed one-needle-vs-table fuzzy match.
 
@@ -256,7 +447,10 @@ def fuzzy_match(
     columns: ``id_cols + [score, typos, exact]``, best-first when sorted.
 
     The min-length filter is applied as a *Catalyst* predicate first so it
-    pushes into the scan; the prefilter + DP run in the UDF.
+    pushes into the scan; the prefilter + DP run in the UDF. ``route``
+    overrides the cost-based kernel choice (see match_list_arrays) —
+    "greedy" is the long-document scale path and has a pure-SQL oracle in
+    the driver contract.
     """
     from pyspark.sql import functions as F
 
@@ -283,7 +477,7 @@ def fuzzy_match(
                 t.encode("utf-8", "surrogatepass") if isinstance(t, str) else (t or b"")
                 for t in pdf[text_col].tolist()
             ]
-            pos, scores, typos, exact = match_list_arrays(nb, texts, cfg)
+            pos, scores, typos, exact = match_list_arrays(nb, texts, cfg, route=route)
             out = pdf.iloc[pos].drop(columns=[text_col]).reset_index(drop=True)
             out["score"] = scores
             out["typos"] = typos

@@ -167,15 +167,28 @@ def embedding_near_dup_pairs(
     n_tables: int = 6,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int = 4096,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via sign-LSH buckets:
     candidates = same (table, bucket), verified by exact cosine >= t.
-    The embedding-space twin of the MinHash-LSH text path."""
+    The embedding-space twin of the MinHash-LSH text path.
+
+    ``max_bucket`` caps the quadratic self-join per (table, bucket):
+    buckets above the cap are skipped (a hot bucket of m vectors emits
+    C(m, 2) rows — the same task-killer the text path salts away). A
+    skipped bucket loses only pairs every OTHER table also failed to
+    surface; if buckets routinely exceed the cap, raise ``n_planes``
+    instead of the cap.
+    """
     dim = len(embeddings.select(vec_col).limit(1).collect()[0][0])
     buckets = lsh_bucket_ids(embeddings, dim, n_planes, n_tables, id_col, vec_col)
+    sizes = buckets.groupBy("table_id", "bucket").agg(F.count("*").alias("_bsz"))
+    capped = buckets.join(
+        sizes.filter(F.col("_bsz") <= max_bucket), ["table_id", "bucket"]
+    ).persist()  # two self-join branches below
     pairs = (
-        buckets.alias("x")
-        .join(buckets.alias("y"),
+        capped.alias("x")
+        .join(capped.alias("y"),
               (F.col("x.table_id") == F.col("y.table_id"))
               & (F.col("x.bucket") == F.col("y.bucket"))
               & (F.col("x.vec_id") < F.col("y.vec_id")))

@@ -107,6 +107,7 @@ def shingle_jaccard_pairs(
     text_col: str = "text",
     k: int = 3,
     threshold: float = 0.5,
+    max_shingle_freq: int = 1000,
 ) -> DataFrame:
     """Exact k-word-shingle Jaccard over all pairs — the brute-force
     n-gram dedup operator (and the oracle MinHash-LSH approximates).
@@ -116,6 +117,13 @@ def shingle_jaccard_pairs(
     -> pair-count aggregate -> join per-doc set sizes. At 100 TB this
     exact variant is only run on samples / bucket-candidates; the LSH
     path replaces the all-pairs join.
+
+    ``max_shingle_freq`` drops shingles appearing in more docs than the
+    cap from the intersection join: a boilerplate shingle in m docs emits
+    C(m, 2) join rows, a single hot key that kills the stage at scale.
+    Dropped shingles still count toward set sizes, so Jaccard for pairs
+    kept together only by boilerplate is (correctly) underestimated. The
+    SQL oracle applies the identical cap.
     """
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     shingles = F.array_distinct(
@@ -126,9 +134,15 @@ def shingle_jaccard_pairs(
     )
     sh = df.select(F.col(id_col).alias("doc_id"), F.explode(shingles).alias("sh"))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    rare = (
+        sh.groupBy("sh").agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") <= max_shingle_freq)
+        .select("sh")
+    )
+    capped = sh.join(rare, "sh")
     inter = (
-        sh.alias("x")
-        .join(sh.alias("y"), (F.col("x.sh") == F.col("y.sh"))
+        capped.alias("x")
+        .join(capped.alias("y"), (F.col("x.sh") == F.col("y.sh"))
               & (F.col("x.doc_id") < F.col("y.doc_id")))
         .groupBy(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
         .agg(F.count("*").alias("i"))

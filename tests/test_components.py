@@ -72,3 +72,27 @@ class TestConnectedComponents:
             assert r["a"] < r["b"]
         roots = {r["a"] for r in stars}
         assert roots == {1, 3}
+
+
+@pytest.mark.spark
+class TestReliableCheckpoint:
+    def test_reliable_checkpoint_same_result(self, spark, tmp_path):
+        from frizbee_spark.operators.components import connected_components
+
+        spark.sparkContext.setCheckpointDir(str(tmp_path / "cc_ckpt"))
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11), (12, 11), (20, 21)], "a long, b long"
+        )
+        plain = sorted(map(tuple, connected_components(edges).collect()))
+        reliable = sorted(map(tuple, connected_components(
+            edges, reliable_checkpoint=True).collect()))
+        assert plain == reliable
+        assert (1, 3) in plain and (10, 12) in plain
+
+    def test_non_convergence_raises(self, spark):
+        from frizbee_spark.operators.components import connected_components
+
+        edges = spark.createDataFrame([(i, i + 1) for i in range(20)],
+                                      "a long, b long")
+        with pytest.raises(RuntimeError):
+            connected_components(edges, max_iter=1)

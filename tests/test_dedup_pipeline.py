@@ -235,3 +235,40 @@ class TestVerify:
         assert not got[(1, 3)]["exact"]
         assert got[(1, 3)]["similarity"] > 0.9 and got[(1, 3)]["verified"]
         assert got[(1, 4)]["similarity"] < 0.5 and not got[(1, 4)]["verified"]
+
+
+@pytest.mark.spark
+class TestExplainPair:
+    def test_explain_near_dup(self, spark):
+        from frizbee_spark.operators.dedup import explain_pair
+
+        docs = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog"),
+                (2, "the quick brown fox jumps over the lazy cat"),
+                (3, "unrelated content entirely different words here"),
+            ],
+            "doc_id long, norm_text string",
+        )
+        ex = explain_pair(docs, 1, 2)
+        assert ex["verified"] and not ex["exact"]
+        assert 0.8 < ex["similarity"] < 1.0
+        assert len(ex["indices"]) >= 40  # most of doc_a aligns inside doc_b
+        bad = explain_pair(docs, 1, 3)
+        assert not bad["verified"] and bad["similarity"] < 0.5
+
+    def test_explain_missing_id_raises(self, spark):
+        from frizbee_spark.operators.dedup import explain_pair
+
+        docs = spark.createDataFrame([(1, "abc")], "doc_id long, norm_text string")
+        with pytest.raises(KeyError):
+            explain_pair(docs, 1, 99)
+
+
+@pytest.mark.spark
+class TestSpanConfirmation:
+    def test_true_spans_confirmed(self, spark, corpus_dir, result):
+        _, out, _ = result
+        sp = out["span_pairs"].toPandas()
+        assert "span_confirmed" in sp.columns
+        assert sp["span_confirmed"].all()  # winnow candidates are real spans

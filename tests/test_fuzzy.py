@@ -111,3 +111,47 @@ class TestFuzzySpark:
         )
         plan = fuzzy_match(df, "deadbe")._jdf.queryExecution().executedPlan().toString()
         assert "length" in plan.lower()  # catalyst filter present pre-UDF
+
+
+class TestIncrementalPrefixReuse:
+    """The reference reuses DP columns of the shared needle prefix
+    (incremental/matcher.rs:89-118, bucket.rs:49-122); ours must too."""
+
+    def test_extending_needle_computes_one_column(self):
+        m = IncrementalMatcher(HAYSTACK)
+        m.match_needle("ab")
+        n_buckets = len(m._buckets)
+        before = m.stats["columns_computed"]
+        m.match_needle("abc")  # shared prefix "ab" -> 1 new column/bucket
+        assert m.stats["columns_computed"] - before == n_buckets
+
+    def test_backspace_computes_nothing(self):
+        m = IncrementalMatcher(HAYSTACK)
+        m.match_needle("abc")
+        before = m.stats["columns_computed"]
+        r = m.match_needle("ab")  # strict prefix: all columns cached
+        assert m.stats["columns_computed"] == before
+        assert r == match_list("ab", HAYSTACK)
+
+    def test_prefix_change_recomputes_suffix_only(self):
+        m = IncrementalMatcher(HAYSTACK)
+        m.match_needle("dead")
+        n_buckets = len(m._buckets)
+        before = m.stats["columns_computed"]
+        m.match_needle("dexd")  # shares "de": 2 new columns per bucket
+        assert m.stats["columns_computed"] - before == 2 * n_buckets
+
+    @pytest.mark.parametrize("max_typos", [None, 0, 1, 2])
+    def test_identical_to_match_list(self, max_typos):
+        import numpy as np
+
+        rng = np.random.default_rng(3)
+        alphabet = np.frombuffer(b"abcdAB_- .", dtype=np.uint8)
+        hs = ["".join(chr(c) for c in rng.choice(alphabet, size=int(n)))
+              for n in rng.choice([3, 8, 20, 100, 600], size=60)]
+        cfg = MatchConfig(max_typos=max_typos)
+        m = IncrementalMatcher(hs, cfg)
+        for needle in ["a", "ab", "abc", "ab", "d", "da", "dA-", "deadbe"]:
+            got = m.match_needle(needle)
+            want = match_list(needle, hs, cfg)
+            assert got == want, f"needle {needle!r} (max_typos={max_typos})"

@@ -191,3 +191,30 @@ class TestBatchKernels:
         counts = np.bincount(np.frombuffer(b, dtype=np.uint8), minlength=256)
         p = counts[counts > 0] / len(b)
         assert abs(byte_entropy_batch([b])[0] - float(-(p * np.log2(p)).sum())) < 1e-9
+
+
+class TestFusedSignatures:
+    def test_fused_equals_unfused(self):
+        import numpy as np
+        from frizbee_spark.functions.hashing import (
+            band_hashes, char_shingle_hashes, compute_signature_arrays,
+            concat_docs, minhash_signatures, simhash64,
+        )
+
+        rng = np.random.default_rng(9)
+        texts = [bytes(rng.integers(97, 123, size=int(n), dtype=np.uint8))
+                 for n in [5, 12, 200, 5000, 70000, 999, 12, 64]]
+        k, P, B, R = 12, 128, 32, 4
+        bnd_f, sim_f = compute_signature_arrays(texts, k, P, B, R)
+        buf, starts = concat_docs(texts, min_len=k)
+        sh, sst = char_shingle_hashes(buf, starts, k)
+        bnd_u = band_hashes(minhash_signatures(sh, sst, P), B, R)
+        sim_u = simhash64(sh, sst)
+        assert (bnd_f == bnd_u).all()
+        assert (sim_f == sim_u).all()
+
+    def test_fused_empty(self):
+        from frizbee_spark.functions.hashing import compute_signature_arrays
+
+        bnd, sim = compute_signature_arrays([], 12, 128, 32, 4)
+        assert bnd.shape == (0, 32) and sim.shape == (0,)

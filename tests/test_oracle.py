@@ -232,3 +232,32 @@ class TestSelfScore:
     )
     def test_matches_dp(self, text):
         assert self_score(text) == smith_waterman(text, text)[0]
+
+
+class TestScoreInvariants:
+    """Behavioral orderings from the reference suite
+    (algorithm.rs:286-304), asserted on BOTH the scalar oracle and the
+    batched wavefront kernel."""
+
+    def _score(self, needle, haystack):
+        from frizbee_spark.functions.oracle import smith_waterman
+        from frizbee_spark.functions.wavefront import sw_batch
+
+        s_scalar, _, _ = smith_waterman(needle, haystack)
+        s_batch, _, _ = sw_batch([needle.encode()], [haystack.encode()],
+                                 compute_typos=False)
+        assert s_scalar == int(s_batch[0])
+        return s_scalar
+
+    def test_prefix_beats_delimiter(self):
+        assert self._score("swap", "swap(test)") > self._score("swap", "iter_swap(test)")
+        assert self._score("_", "_private_member") > self._score("_", "public_member")
+
+    def test_prefix_beats_capitalization(self):
+        assert self._score("H", "HELLO") > self._score("H", "fooHello")
+
+    def test_continuous_beats_delimiter(self):
+        assert self._score("foo", "fooo") > self._score("foo", "f_o_o_o")
+
+    def test_continuous_beats_capitalization(self):
+        assert self._score("fo", "foo") > self._score("fo", "faOo")
