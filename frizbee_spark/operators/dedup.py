@@ -197,6 +197,93 @@ def compute_signatures(
 # bucket -> candidate pairs (shared by exact / LSH / SimHash passes)
 # ---------------------------------------------------------------------------
 
+def _bucket_pairs_kernel(
+    flat: np.ndarray, sizes: np.ndarray, cfg: DedupConfig
+) -> tuple[np.ndarray, np.ndarray]:
+    """Pair edges for consecutive COMPLETE buckets (``flat`` holds each
+    bucket's ids contiguously, ascending within bucket; ``sizes`` are the
+    bucket lengths), fully vectorized across buckets:
+
+    - size <= dense_cap: all pairs (offset-diagonal sweep — at most
+      dense_cap-1 vector passes regardless of bucket count);
+    - larger: chain + star edges per salt group (salting kicks in above
+      salt_threshold), linear in bucket size, plus rep links joining the
+      per-salt minima — identical connectivity semantics to the SQL
+      window formulation this replaces.
+    """
+    from ..functions.hashing import splitmix64
+
+    if flat.size == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z.copy()
+    offs = np.zeros(sizes.size, dtype=np.int64)
+    np.cumsum(sizes[:-1], out=offs[1:])
+    seg = np.repeat(np.arange(sizes.size, dtype=np.int64), sizes)
+    local = np.arange(flat.size, dtype=np.int64) - np.repeat(offs, sizes)
+    seg_size = sizes[seg]
+
+    out_a: list[np.ndarray] = []
+    out_b: list[np.ndarray] = []
+
+    # dense buckets: for each offset d, pair element t with t+d
+    dense_mask = (seg_size <= cfg.dense_cap) & (seg_size > 1)
+    if dense_mask.any():
+        max_d = int(seg_size[dense_mask].max())
+        for d in range(1, max_d):
+            sel = np.flatnonzero(dense_mask & (local + d < seg_size))
+            if sel.size:
+                out_a.append(flat[sel])
+                out_b.append(flat[sel + d])
+
+    big_mask = seg_size > cfg.dense_cap
+    if big_mask.any():
+        pos = np.flatnonzero(big_mask)
+        salted = seg_size[pos] > cfg.salt_threshold
+        salt = np.where(
+            salted,
+            (splitmix64(flat[pos].view(np.uint64)) % np.uint64(cfg.n_salt))
+            .astype(np.int64),
+            0,
+        )
+        # group by (segment, salt), keep doc order within group
+        order = np.lexsort((local[pos], salt, seg[pos]))
+        p = pos[order]
+        s_seg, s_salt, s_ids = seg[p], salt[order], flat[p]
+        new_grp = np.empty(p.size, dtype=bool)
+        new_grp[0] = True
+        new_grp[1:] = (s_seg[1:] != s_seg[:-1]) | (s_salt[1:] != s_salt[:-1])
+        run_id = np.cumsum(new_grp) - 1
+        # chain: consecutive elements of the same (segment, salt) run
+        same = ~new_grp[1:]
+        out_a.append(s_ids[:-1][same])
+        out_b.append(s_ids[1:][same])
+        # star: run min (first element, ids sorted) -> elements at
+        # run-index >= 2 (index 1's chain edge already reaches the min)
+        run_start = np.flatnonzero(new_grp)
+        run_first = s_ids[run_start]
+        idx_in_run = np.arange(p.size, dtype=np.int64) - run_start[run_id]
+        star_sel = idx_in_run >= 2
+        out_a.append(run_first[run_id[star_sel]])
+        out_b.append(s_ids[star_sel])
+        # rep links: per segment, chain the per-salt run minima
+        seg_of_run = s_seg[run_start]
+        rep_sorted = np.lexsort((run_first, seg_of_run))
+        rs, rf = seg_of_run[rep_sorted], run_first[rep_sorted]
+        same_seg = rs[1:] == rs[:-1]
+        out_a.append(rf[:-1][same_seg])
+        out_b.append(rf[1:][same_seg])
+
+    if not out_a:
+        z = np.empty(0, dtype=np.int64)
+        return z, z.copy()
+    a = np.concatenate(out_a)
+    b = np.concatenate(out_b)
+    lo = np.minimum(a, b)
+    hi = np.maximum(a, b)
+    keep = lo != hi
+    return lo[keep], hi[keep]
+
+
 def pairs_from_buckets(
     bucketed: DataFrame,
     key_cols: list[str],
@@ -205,81 +292,75 @@ def pairs_from_buckets(
 ) -> DataFrame:
     """(key_cols..., doc_id) -> canonical candidate pairs (a < b).
 
-    Pure Catalyst — no Python in this path (per-group pandas overhead
-    would dominate with millions of tiny buckets):
+    ONE shuffle: hash-repartition on the bucket key, sort within
+    partitions by (key, doc_id), then a vectorized Arrow kernel streams
+    the sorted run emitting, per bucket:
 
-    - buckets <= dense_cap docs: self-equi-join on the bucket key emits
-      the complete pair set (verification can then reject any edge
-      without disconnecting a true dup group);
-    - larger buckets: a window sort per bucket emits chain (lag) + star
-      (first) edges — 2n-3 edges, linear, connectivity preserved;
+    - buckets <= dense_cap docs: the complete pair set (verification can
+      then reject any edge without disconnecting a true dup group);
+    - larger buckets: chain + star edges — 2n-3 edges, linear,
+      connectivity preserved;
     - buckets > salt_threshold: split by a doc_id hash into n_salt
-      sub-buckets chained independently (bounded per-task work), then
-      re-linked through per-salt min-doc representatives. This is the
-      "salted groupBy for hot LSH buckets" the north rule names — AQE
-      skew handling covers joins, not giant groupBy/window groups, so we
-      salt explicitly.
+      sub-buckets chained independently, re-linked through per-salt
+      min-doc representatives — the "salted groupBy for hot LSH buckets"
+      the north rule names, except the salting lives inside the kernel so
+      it costs zero extra shuffles.
+
+    This replaces a groupBy-sizes + join + two-window SQL formulation
+    that shuffled the (huge) exploded bucket table 3-4 times; the pair
+    semantics are identical (differentially tested). Buckets straddling
+    Arrow batches are carried between batches inside the kernel; a hot
+    bucket lands on one task but costs only a linear scan there. With
+    multiple key columns the bucket identity is their xxhash64 (a 64-bit
+    collision merges two buckets into one candidate pool — harmless:
+    verification rejects the cross pairs).
     """
-    keys = [F.col(c) for c in key_cols]
-    sizes = bucketed.groupBy(*keys).agg(F.count("*").alias("_bsz"))
-    # `work` feeds four downstream branches (dense self-join x2, chain/star
-    # window, salt representatives); persist it so the bucket input — which
-    # may be an expensive UDF output (e.g. winnowing fingerprints) — is
-    # computed once, not once per branch. MEMORY_AND_DISK, LRU-evicted;
-    # rows are (key, doc_id, size) only.
-    work = bucketed.join(sizes.filter(F.col("_bsz") > 1), key_cols).persist()
+    if len(key_cols) == 1:
+        keyed = bucketed.select(
+            F.col(key_cols[0]).cast("long").alias("_bk"), "doc_id"
+        )
+    else:
+        keyed = bucketed.select(
+            F.xxhash64(*[F.col(c) for c in key_cols]).alias("_bk"), "doc_id"
+        )
+    w = keyed.repartition("_bk").sortWithinPartitions("_bk", "doc_id")
 
-    small = work.filter(F.col("_bsz") <= cfg.dense_cap)
-    dense = (
-        small.select(*keys, F.col("doc_id").alias("a"))
-        .join(small.select(*keys, F.col("doc_id").alias("b")), key_cols)
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
-    )
+    def gen(batches):
+        carry_bk = None
+        carry_ids = np.empty(0, dtype=np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            bk = pdf["_bk"].to_numpy(dtype=np.int64)
+            ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            # splice the carried (incomplete) group in front; within a
+            # bucket, doc order stays ascending across batch boundaries
+            # because the partition is sorted by (_bk, doc_id)
+            if carry_bk is not None:
+                bk = np.concatenate(
+                    [np.full(carry_ids.size, carry_bk, dtype=np.int64), bk]
+                )
+                ids = np.concatenate([carry_ids, ids])
+            bounds = np.flatnonzero(bk[1:] != bk[:-1]) + 1
+            last_start = int(bounds[-1]) if bounds.size else 0
+            # hold back the last group — it may continue in the next batch
+            carry_bk = int(bk[-1])
+            carry_ids = ids[last_start:].copy()
+            if last_start:
+                sizes = np.diff(np.concatenate(([0], bounds)))
+                a, b = _bucket_pairs_kernel(ids[:last_start], sizes, cfg)
+                yield pd.DataFrame({"a": a, "b": b})
+        if carry_ids.size:
+            a, b = _bucket_pairs_kernel(
+                carry_ids, np.array([carry_ids.size], dtype=np.int64), cfg
+            )
+            yield pd.DataFrame({"a": a, "b": b})
 
-    big = work.filter(F.col("_bsz") > cfg.dense_cap).withColumn(
-        "_salt",
-        F.when(
-            F.col("_bsz") > cfg.salt_threshold,
-            F.pmod(F.xxhash64("doc_id"), F.lit(cfg.n_salt)),
-        ).otherwise(F.lit(0)),
-    )
-    w = Window.partitionBy(*key_cols, "_salt").orderBy("doc_id")
-    big = big.select(
-        *keys, "_salt", "doc_id",
-        F.lag("doc_id").over(w).alias("_prev"),
-        F.first("doc_id").over(w).alias("_min"),
-    )
-    chain = big.filter(F.col("_prev").isNotNull()).select(
-        F.col("_prev").alias("a"), F.col("doc_id").alias("b")
-    )
-    star = big.filter(
-        (F.col("doc_id") != F.col("_min"))
-        & (F.col("_prev").isNotNull())
-        & (F.col("_prev") != F.col("_min"))
-    ).select(F.col("_min").alias("a"), F.col("doc_id").alias("b"))
-
-    # re-link salted sub-buckets: chain the per-(bucket, salt) min docs
-    reps = (
-        big.filter(F.col("_bsz") > cfg.salt_threshold)
-        .groupBy(*keys, "_salt")
-        .agg(F.min("doc_id").alias("doc_id"))
-    )
-    wr = Window.partitionBy(*key_cols).orderBy("doc_id")
-    rep_links = (
-        reps.withColumn("_prev", F.lag("doc_id").over(wr))
-        .filter(F.col("_prev").isNotNull())
-        .select(F.col("_prev").alias("a"), F.col("doc_id").alias("b"))
-    )
-
-    pairs = dense.unionByName(chain).unionByName(star).unionByName(rep_links)
-    canon = pairs.select(
-        F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
-    ).filter(F.col("a") != F.col("b"))
+    pairs = w.mapInPandas(gen, schema="a long, b long")
     if keep_multiplicity:
         # one row per (bucket, pair) — callers count co-occurrences
-        return canon
-    return canon.dropDuplicates(["a", "b"])
+        return pairs
+    return pairs.dropDuplicates(["a", "b"])
 
 
 def exact_hash_pairs(signatures: DataFrame, cfg: DedupConfig = DEFAULT_DEDUP) -> DataFrame:
@@ -590,7 +671,7 @@ def verify_pairs(
                 stop = start + 1
                 while stop < order.size:
                     w = max(len(ta[order[stop]]), len(tb[order[stop]]))
-                    if w > max(2 * w0, w0 + 256) or stop - start >= 512:
+                    if w > max(2 * w0, w0 + 256) or stop - start >= 256:
                         break
                     stop += 1
                 sel = order[start:stop]

@@ -249,11 +249,15 @@ class NearDupPipeline:
             id_src = "url" if "url" in src.columns else "doc_id"
             if id_src == "url":
                 work = with_doc_id(work, "url")
-            # norm_text is NOT persisted: it is a cheap deterministic
-            # Catalyst expression recomputed at read (halves the biggest
-            # checkpoint write; the byte-identity invariant covers `text`)
-            keep = [c for c in ("url", "warc_ts", "text", "lang", "_extract_ok")
-                    if c in work.columns]
+            # norm_text IS persisted: signatures, the span pass, and both
+            # sides of the verify text join consume it, and recomputing
+            # the whitespace-collapse regex at read costs ~4 full
+            # JVM-regex passes over the corpus per run (hundreds of
+            # core-seconds at bench scale). Parquet column pruning keeps
+            # each consumer's scan narrow, so the extra column costs only
+            # its one write.
+            keep = [c for c in ("url", "warc_ts", "text", "norm_text", "lang",
+                                "_extract_ok") if c in work.columns]
             out_df = work.select("doc_id", *keep)
             # explicit stage-boundary repartition: deterministic hash
             # distribution on doc_id, sized by input volume (reference
@@ -282,7 +286,10 @@ class NearDupPipeline:
                     f"doc_id collision: {c['n']} rows, {c['d']} distinct ids"
                 )
             documents = documents.drop("_extract_ok")
-        documents = normalize_text(documents, "text")
+        if "norm_text" not in documents.columns:
+            # resumed from a checkpoint written before norm_text was
+            # persisted — recompute it as an expression
+            documents = normalize_text(documents, "text")
         out["documents"] = documents
         if until == "documents":
             self.flush_metrics()

@@ -28,6 +28,14 @@ def get_spark(app_name: str = "frizbee-spark", cores: int | None = None, extra: 
     # per parquet row-group-ish split — thousands of tasks, which is the
     # correct shape there too.
     split = os.environ.get("SPARK_GRAFT_SPLIT_BYTES", "16m")
+    # Shuffle/spill storage: the sandbox root disk writes at ~120 MB/s —
+    # one shared spindle would serialize every shuffle regardless of core
+    # count, which misrepresents a real cluster where local shuffle SSDs
+    # scale per node. Use the RAM-backed /dev/shm when present (standard
+    # practice: put spark.local.dir on the fastest local storage).
+    local_dir = os.environ.get("SPARK_LOCAL_DIRS")
+    if local_dir is None and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/spark-local"
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)
@@ -43,7 +51,10 @@ def get_spark(app_name: str = "frizbee-spark", cores: int | None = None, extra: 
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", split)
+        .config("spark.sql.parquet.compression.codec", "zstd")
     )
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

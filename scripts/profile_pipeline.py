@@ -34,7 +34,7 @@ def main() -> None:
     sc = spark.sparkContext
     tracker = sc.statusTracker()
 
-    workdir = tempfile.mkdtemp(prefix="frizbee_profile_")
+    workdir = tempfile.mkdtemp(prefix="frizbee_profile_", dir="/dev/shm" if __import__("os").path.isdir("/dev/shm") else None)
     try:
         t0 = time.monotonic()
         pipe = NearDupPipeline(spark, PipelineConfig(workdir=workdir))

@@ -272,3 +272,53 @@ class TestSpanConfirmation:
         sp = out["span_pairs"].toPandas()
         assert "span_confirmed" in sp.columns
         assert sp["span_confirmed"].all()  # winnow candidates are real spans
+
+
+class TestBucketPairsKernel:
+    """Pure-kernel checks for the vectorized pair generator."""
+
+    def test_dense_all_pairs_multi_bucket(self):
+        import itertools
+        import numpy as np
+        from frizbee_spark.operators.dedup import DedupConfig, _bucket_pairs_kernel
+
+        cfg = DedupConfig()
+        flat = np.array([1, 5, 9, 20, 21, 30, 31, 32, 33], dtype=np.int64)
+        sizes = np.array([3, 2, 4], dtype=np.int64)
+        a, b = _bucket_pairs_kernel(flat, sizes, cfg)
+        got = sorted(zip(a.tolist(), b.tolist()))
+        want = sorted(
+            list(itertools.combinations([1, 5, 9], 2))
+            + [(20, 21)]
+            + list(itertools.combinations([30, 31, 32, 33], 2))
+        )
+        assert got == want
+
+    def test_big_bucket_linear_connected(self):
+        import numpy as np
+        from frizbee_spark.operators.dedup import DedupConfig, _bucket_pairs_kernel
+
+        cfg = DedupConfig(dense_cap=8, salt_threshold=50, n_salt=4)
+        flat = np.arange(100, dtype=np.int64)
+        a, b = _bucket_pairs_kernel(flat, np.array([100]), cfg)
+        assert a.size <= 2 * 100  # linear
+        parent = list(range(100))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for x, y in zip(a.tolist(), b.tolist()):
+            parent[find(y)] = find(x)
+        assert len({find(i) for i in range(100)}) == 1
+
+    def test_singletons_emit_nothing(self):
+        import numpy as np
+        from frizbee_spark.operators.dedup import DEFAULT_DEDUP, _bucket_pairs_kernel
+
+        a, b = _bucket_pairs_kernel(
+            np.array([1, 2, 3], dtype=np.int64), np.array([1, 1, 1]), DEFAULT_DEDUP
+        )
+        assert a.size == 0
