@@ -295,42 +295,66 @@ class NearDupPipeline:
             self.flush_metrics()
             return out
 
-        signatures = self._stage(
-            "signatures", lambda: compute_signatures(documents, d)
-        )
-        out["signatures"] = signatures
-        if until == "signatures":
-            self.flush_metrics()
-            return out
+        # span_pairs depends only on `documents` — launch it on a second
+        # submission thread so Spark schedules it CONCURRENTLY with the
+        # signatures -> candidates -> verify chain (independent DAG
+        # branches; neither alone saturates the cluster at every moment).
+        # Joined before clusters, and always before returning.
+        span_future = None
+        pool = None
+        if cfg.enable_span and until not in ("documents", "signatures",
+                                             "candidates", "span_pairs"):
+            import concurrent.futures
 
-        candidates = self._stage(
-            "candidates",
-            lambda: unified_candidate_pairs(
-                signatures, d, include_simhash=cfg.enable_simhash
-            ),
-        )
-        out["candidates"] = candidates
-        if until == "candidates":
-            self.flush_metrics()
-            return out
-
-        if cfg.enable_span:
-            span = self._stage(
-                "span_pairs", lambda: winnow_span_pairs(documents, d)
+            pool = concurrent.futures.ThreadPoolExecutor(1)
+            span_future = pool.submit(
+                self._stage, "span_pairs", lambda: winnow_span_pairs(documents, d)
             )
-            out["span_pairs"] = span
-        if until == "span_pairs":
-            self.flush_metrics()
-            return out
 
-        verified = self._stage(
-            "verified",
-            lambda: verify_pairs(
-                candidates, documents, d,
-                num_partitions=cfg.pair_partitions, signatures=signatures,
-            ),
-        )
-        out["verified"] = verified
+        def _join_span():
+            if span_future is not None:
+                out["span_pairs"] = span_future.result()
+                pool.shutdown()
+
+        try:
+            signatures = self._stage(
+                "signatures", lambda: compute_signatures(documents, d)
+            )
+            out["signatures"] = signatures
+            if until == "signatures":
+                self.flush_metrics()
+                return out
+
+            candidates = self._stage(
+                "candidates",
+                lambda: unified_candidate_pairs(
+                    signatures, d, include_simhash=cfg.enable_simhash
+                ),
+            )
+            out["candidates"] = candidates
+            if until == "candidates":
+                self.flush_metrics()
+                return out
+
+            if cfg.enable_span and span_future is None:
+                out["span_pairs"] = self._stage(
+                    "span_pairs", lambda: winnow_span_pairs(documents, d)
+                )
+            if until == "span_pairs":
+                self.flush_metrics()
+                return out
+
+            verified = self._stage(
+                "verified",
+                lambda: verify_pairs(
+                    candidates, documents, d,
+                    num_partitions=cfg.pair_partitions, signatures=signatures,
+                ),
+            )
+            out["verified"] = verified
+        finally:
+            # always join the concurrent span branch (success or failure)
+            _join_span()
         if until == "verified":
             self.flush_metrics()
             return out
