@@ -2,9 +2,21 @@
 from N to 4N executors).
 
 Sandbox stand-in: no real multi-executor cluster exists here, so the same
-job runs at two parallelism levels — local[8] (N) and local[32] (4N) —
+job runs at two parallelism levels — local[4] (N) and local[16] (4N) —
 on the SAME input corpus, each in a fresh subprocess (fresh JVM, fresh
 workdir). Strong scaling: efficiency = throughput_4N / (4 * throughput_N).
+
+Why 4 -> 16 and not 8 -> 32: the sandbox VM's 32 vCPUs are overcommitted
+on the host — a pinned, embarrassingly-parallel, cache-resident spin
+benchmark (no shared state, no memory traffic) scales only 2.7-3.0x from
+8 to 32 processes (0.68-0.75 efficiency), so 8->32 measures the host
+scheduler, not the engine. The same spin benchmark scales 3.95x (0.99)
+from 4 to 16 processes, and a STREAM-style bandwidth test gives 54 ->
+159 GB/s (0.74 ceiling for purely DRAM-bound work). 4 vs 16 is therefore
+the widest N vs 4N spread this VM can honestly host; both runs are
+taskset-pinned so neither can borrow idle cores. (Measurements recorded
+in BENCH.md; a real N vs 4N executor cluster scales CPU, DRAM, and
+shuffle disks with node count.)
 
 Each parallelism level runs TWICE and the faster run is reported (the
 sandbox VM has bursty steal time — ±30% between identical runs was
@@ -49,7 +61,7 @@ def run_once(cpus: int, docs: int) -> dict:
 
 def main() -> None:
     docs = int(sys.argv[1]) if len(sys.argv) > 1 else 60_000
-    n_small, n_big = 8, 32
+    n_small, n_big = 4, 16
 
     # warm the corpus cache once so neither timed run pays generation
     from frizbee_spark.sources.corpus import write_corpus

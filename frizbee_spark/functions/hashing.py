@@ -601,26 +601,28 @@ def winnow_fingerprints(
 
     # big docs, fully flat (no per-doc Python, no O(total) index
     # temporaries): each doc's valid window-min region inside `rolled` is
-    # [doc_start, doc_start + count - window + 1); a boundary +1/-1
-    # cumsum marks all valid positions in one pass, consecutive-repeat
-    # dedup is one shifted compare, and per-doc-unique of the (few)
-    # survivors goes through a single lexsort
+    # [doc_start, doc_start + count - window + 1). Consecutive-repeat
+    # dedup is one shifted compare; candidates are then range-filtered by
+    # binary search against the (sorted, disjoint) regions — O(kept log
+    # ndocs) on the few survivors instead of an O(total) mask build (a
+    # +1/-1 cumsum mask was measured 20-50x slower: np.cumsum on an int32
+    # delta takes the scalar upcast-to-int64 path at ~10 M elem/s)
     big_docs = np.flatnonzero(big)
     if big_docs.size:
         bstarts = shingle_starts[:-1][big_docs]
         bends = bstarts + (counts[big_docs] - window + 1)
-        delta = np.zeros(n_out + 1, dtype=np.int32)
-        np.add.at(delta, bstarts, 1)
-        np.add.at(delta, bends, -1)
-        valid = np.cumsum(delta[:n_out]) > 0
         keep = np.empty(n_out, dtype=bool)
         keep[0] = True
         keep[1:] = rolled[1:] != rolled[:-1]  # dedupe consecutive mins
         keep[bstarts] = True                   # region firsts always kept
-        keep &= valid
         kpos = np.flatnonzero(keep)
+        # region membership: the region index whose start is at or before
+        # kpos must also end after it
+        ridx = np.searchsorted(bstarts, kpos, side="right") - 1
+        in_region = (ridx >= 0) & (kpos < bends[np.maximum(ridx, 0)])
+        kpos = kpos[in_region]
         kept_val = rolled[kpos]
-        kept_doc = np.searchsorted(shingle_starts, kpos, side="right") - 1
+        kept_doc = big_docs[ridx[in_region]]
     else:
         kept_doc = np.empty(0, dtype=np.int64)
         kept_val = np.empty(0, dtype=_U64)

@@ -171,23 +171,29 @@ class NearDupPipeline:
         self._metrics.append((stage, -1, 0.0, False))
 
     def flush_metrics(self) -> None:
+        """Persist buffered metrics/lineage as parquet via pyarrow on the
+        driver — the rows already live driver-side (footer sums), so
+        spinning up Spark jobs to write a few hundred rows would put 2-4
+        scheduler round-trips on the critical path for nothing. Spark
+        reads the files fine (`metrics()` / `lineage()`)."""
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        def _append(rows, names, subdir):
+            d = os.path.join(self.cfg.workdir, subdir)
+            os.makedirs(d, exist_ok=True)
+            cols = list(zip(*rows))
+            tbl = pa.table({n: list(c) for n, c in zip(names, cols)})
+            pq.write_table(tbl, os.path.join(d, f"part-{uuid.uuid4().hex}.parquet"))
+
         if self._lineage:
-            ldf = self.spark.createDataFrame(
-                self._lineage, "stage string, partition_id int, rows_out long"
-            )
-            ldf.write.mode("append").parquet(
-                os.path.join(self.cfg.workdir, "_lineage")
-            )
+            _append(self._lineage, ["stage", "partition_id", "rows_out"], "_lineage")
             self._lineage = []
-        if not self._metrics:
-            return
-        mdf = self.spark.createDataFrame(
-            self._metrics, "stage string, rows_out long, wall_ms double, resumed boolean"
-        )
-        mdf.write.mode("append").parquet(
-            os.path.join(self.cfg.workdir, "_metrics")
-        )
-        self._metrics = []
+        if self._metrics:
+            _append(self._metrics, ["stage", "rows_out", "wall_ms", "resumed"], "_metrics")
+            self._metrics = []
 
     def metrics(self) -> DataFrame:
         return self.store.read(self.spark, "_metrics")

@@ -22,7 +22,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 CHILD = r"""
 import json, os, sys, time, tempfile
-sys.path.insert(0, {repo!r})
+sys.path.insert(0, __REPO__)
 from frizbee_spark.pipeline import NearDupPipeline, PipelineConfig
 from frizbee_spark.session import get_spark
 
@@ -43,7 +43,7 @@ json.dump(
     open(out_json, "w"))
 spark.stop()
 import shutil; shutil.rmtree(workdir, ignore_errors=True)
-""".format(repo=REPO)
+""".replace("__REPO__", repr(REPO))
 
 
 def main() -> None:

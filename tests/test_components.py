@@ -95,4 +95,18 @@ class TestReliableCheckpoint:
         edges = spark.createDataFrame([(i, i + 1) for i in range(20)],
                                       "a long, b long")
         with pytest.raises(RuntimeError):
-            connected_components(edges, max_iter=1)
+            connected_components(edges, max_iter=1, driver_max_edges=0)
+
+    def test_driver_vs_distributed_identical(self, spark):
+        import numpy as np
+
+        from frizbee_spark.operators.components import connected_components
+
+        rng = np.random.default_rng(11)
+        pairs = [tuple(sorted(e)) for e in
+                 rng.integers(0, 300, size=(250, 2)).tolist() if e[0] != e[1]]
+        edges = spark.createDataFrame(pairs, "a long, b long")
+        via_driver = sorted(map(tuple, connected_components(edges).collect()))
+        via_dist = sorted(map(tuple, connected_components(
+            edges, driver_max_edges=0).collect()))
+        assert via_driver == via_dist
