@@ -546,13 +546,30 @@ def winnow_span_pairs(
     def run_confirm(batches):
         for pdf in batches:
             conf = np.zeros(len(pdf), dtype=bool)
+            # hash each doc once per batch (keyed by doc id) — docs in
+            # many span pairs (boilerplate hubs) would otherwise be
+            # re-shingled per pair, and the per-pair work drops to one
+            # sorted intersect
+            cache: dict[int, tuple[bytes, np.ndarray, np.ndarray]] = {}
+
+            def hashes_of(doc_id: int, t: str):
+                got = cache.get(doc_id)
+                if got is None:
+                    bt = t.encode("utf-8")
+                    h, _ = char_shingle_hashes(*concat_docs([bt], min_len=k), k)
+                    order = np.argsort(h, kind="stable")
+                    got = (bt, h[order], order)
+                    cache[doc_id] = got
+                return got
+
+            ids_a = pdf["a"].tolist()
+            ids_b = pdf["b"].tolist()
             for i, (ta, tb) in enumerate(zip(pdf["_ta"], pdf["_tb"])):
-                ba, bb = ta.encode("utf-8"), tb.encode("utf-8")
-                ha, _ = char_shingle_hashes(*concat_docs([ba], min_len=k), k)
-                hb, _ = char_shingle_hashes(*concat_docs([bb], min_len=k), k)
+                ba, ha, oa = hashes_of(ids_a[i], ta)
+                bb, hb, ob = hashes_of(ids_b[i], tb)
                 common, ia, ib = np.intersect1d(ha, hb, return_indices=True)
                 for ci in range(min(common.size, 4)):
-                    pa, pb = int(ia[ci]), int(ib[ci])
+                    pa, pb = int(oa[ia[ci]]), int(ob[ib[ci]])
                     if ba[pa : pa + k] == bb[pb : pb + k]:
                         conf[i] = True
                         break
