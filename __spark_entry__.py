@@ -155,6 +155,12 @@ def q_token_stats(spark, sf_dir):
     return token_stats(_docs(spark, sf_dir))
 
 
+def q_bpe_token_stats(spark, sf_dir):
+    from frizbee_spark.operators.textstats import bpe_token_stats
+
+    return bpe_token_stats(_docs(spark, sf_dir))
+
+
 def q_quality_score(spark, sf_dir):
     from frizbee_spark.operators.textstats import quality_score
 
@@ -288,6 +294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_clusters": q_near_dup_clusters,
         "canonical_docs": q_canonical_docs,
         "token_stats": q_token_stats,
+        "bpe_token_stats": q_bpe_token_stats,
         "quality_score": q_quality_score,
         "language_id": q_language_id,
         "doc_fingerprint": q_doc_fingerprint,
@@ -444,6 +451,19 @@ def oracle_sql() -> dict[str, str]:
                    len(w) AS n_tokens,
                    len(list_distinct(w)) AS n_distinct_tokens,
                    round((length(tt) - len(w) + 1) * 1.0 / len(w), 4) AS avg_token_len
+            FROM t
+        """,
+        "bpe_token_stats": """
+            WITH t AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(text,
+                           '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+| +'))
+                           AS n_bpe_tokens,
+                       len(string_split(trim(text), ' ')) AS n_ws_tokens
+                FROM documents
+            )
+            SELECT doc_id, n_bpe_tokens, n_ws_tokens,
+                   round(n_bpe_tokens * 1.0 / n_ws_tokens, 4) AS tokens_per_word
             FROM t
         """,
         "quality_score": f"""

@@ -60,6 +60,12 @@ def main() -> None:
         (spark.range(1_000_000).select(_F.xxhash64("id").alias("h"))
          .repartition(4, "h").write.mode("overwrite").parquet(_wtmp))
         spark.read.parquet(_wtmp).count()
+        # fork + warm one Python worker per core (pandas/numpy imports)
+        def _warm(batches):
+            for pdf in batches:
+                yield pdf
+        (spark.range(cpus * 4).repartition(cpus)
+         .mapInPandas(_warm, schema="id long").count())
     finally:
         shutil.rmtree(_wtmp, ignore_errors=True)
 

@@ -70,10 +70,18 @@ def main() -> None:
     write_corpus(os.path.join(tempfile.gettempdir(),
                               f"frizbee_bench_corpus_{docs}"), docs)
 
-    r_small = min((run_once(n_small, docs) for _ in range(2)),
-                  key=lambda r: r["dedup_wall_sec"])
-    r_big = min((run_once(n_big, docs) for _ in range(2)),
-                key=lambda r: r["dedup_wall_sec"])
+    # Interleave the levels (small, big, small, big, ...) and keep the
+    # best of 3 per level: the host VM's ambient load swings wall times
+    # by +-30-60% on a scale of minutes (measured — identical runs 52s vs
+    # 83s), so consecutive same-level runs would let one bad window bias
+    # a whole level. Interleaving samples both levels under similar
+    # conditions; best-per-level reports each level's least-disturbed run.
+    rs_small, rs_big = [], []
+    for _ in range(3):
+        rs_small.append(run_once(n_small, docs))
+        rs_big.append(run_once(n_big, docs))
+    r_small = min(rs_small, key=lambda r: r["dedup_wall_sec"])
+    r_big = min(rs_big, key=lambda r: r["dedup_wall_sec"])
     tp_small, tp_big = r_small["value"], r_big["value"]
     eff = tp_big / (tp_small * (n_big / n_small))
 

@@ -327,6 +327,7 @@ def sw_score_banded(
     mismatch = dtype(scoring.mismatch_penalty)
     nlens_row = nlens[None, :]
     wlens_row = wlens[None, :]
+    min_n, min_w = int(nlens.min()), int(wlens.min())
     iv_all = np.arange(n_max, dtype=np.int64)
 
     # preallocated per-diagonal scratch, sliced to the band width each
@@ -416,11 +417,15 @@ def sw_score_banded(
         np.maximum(d1, up_score, out=maxv)
         np.maximum(maxv, left_score, out=maxv)
 
-        iv = iv_all[i_lo : i_hi + 1]
-        valid = sc["v2"][:wd]
-        np.less(iv[:, None], nlens_row, out=valid)
-        valid &= (d - iv)[:, None] < wlens_row
-        maxv *= valid  # zero out cells past either string's real length
+        # cells past either string's real length must be zeroed; skip the
+        # two batch-wide mask passes when the whole window is interior to
+        # every pair (true for most diagonals under the tight ladder)
+        if not (i_hi < min_n and j_hi < min_w):
+            iv = iv_all[i_lo : i_hi + 1]
+            valid = sc["v2"][:wd]
+            np.less(iv[:, None], nlens_row, out=valid)
+            valid &= (d - iv)[:, None] < wlens_row
+            maxv *= valid
 
         diag_taken = np.equal(maxv, d1, out=sc["dt"][:wd])
         u_new = np.not_equal(maxv, up_score, out=sc["un"][:wd])

@@ -84,8 +84,11 @@ def _driver_components(edges: DataFrame) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    pdf = edges.select("a", "b").toPandas()
-    spark = edges.sparkSession
+    if isinstance(edges, tuple):
+        spark, pdf = edges  # pre-collected (SparkSession, pandas frame)
+    else:
+        spark = edges.sparkSession
+        pdf = edges.select("a", "b").toPandas()
     schema = "a long, b long"
     if len(pdf) == 0:
         return spark.createDataFrame([], schema)
@@ -158,9 +161,12 @@ def connected_components(
 
     canon = _canon(edges)
     if driver_max_edges:
-        n_edges = canon.count()
-        if n_edges <= driver_max_edges:
-            return _driver_components(canon)
+        # ONE job decides the route AND feeds the driver path: collect up
+        # to cap+1 rows — if the limit wasn't hit, the frame is the whole
+        # edge set (no separate count + re-collect round-trip)
+        probe = canon.limit(driver_max_edges + 1).toPandas()
+        if len(probe) <= driver_max_edges:
+            return _driver_components((canon.sparkSession, probe))
 
     cur = _truncate(canon)
     prev_sig = None

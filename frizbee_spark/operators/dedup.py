@@ -57,7 +57,14 @@ class DedupConfig:
     bands: int = 32              # LSH bands ...
     band_rows: int = 4           # ... of this many signature rows each
     sim_threshold: float = 0.80  # SW normalized-similarity accept threshold
-    band_radius: int = 64        # SW wavefront band half-width
+    band_radius: int = 48        # SW wavefront band half-width: tolerance
+                                 # for cumulative net indel drift between
+                                 # near-dup alignments. 48 measured
+                                 # cluster-recall-identical to 64 on the
+                                 # synthetic corpus (6424/6425 truth pairs
+                                 # at 20k docs) at ~25% less band work;
+                                 # raise for inputs with large block
+                                 # insertions
     hamming_max: int = 3         # SimHash Hamming acceptance radius
     verify_hamming_reject: int = 20  # pairs with SimHash Hamming above this
                                  # are rejected before the SW kernel (cheap

@@ -35,6 +35,33 @@ def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
+# GPT-2-style pre-tokenizer, restricted to the regex subset Java
+# (Spark) and RE2 (DuckDB) interpret identically: contractions, then
+# space-prefixed letter runs, digit runs, punctuation runs, then
+# residual whitespace. (The original adds a \s+(?!\S) lookahead, which
+# RE2 lacks — without it trailing-whitespace tokens merge, a difference
+# only for multi-space runs, and both engines agree on this variant.)
+BPE_PRETOKEN_RE = "'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+| +"
+
+
+def bpe_token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """BPE-ish token counting: the whitespace count plus the GPT-2-style
+    pre-tokenizer split (the unit a byte-pair encoder would merge
+    within). tokens_per_word > 1 flags punctuation/digit-dense docs that
+    tokenize expensively — a standard curation signal."""
+    t = F.col(text_col)
+    ws = F.split(F.trim(t), r"\s+")
+    bpe_n = F.size(F.expr(
+        f"regexp_extract_all({text_col}, \"{BPE_PRETOKEN_RE}\", 0)"
+    ))
+    return df.select(
+        F.col(id_col),
+        bpe_n.cast("long").alias("n_bpe_tokens"),
+        F.size(ws).cast("long").alias("n_ws_tokens"),
+        F.round(bpe_n / F.size(ws), 4).alias("tokens_per_word"),
+    )
+
+
 def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Cheap quality heuristics: length, alpha/digit/space ratios,
     stopword ratio. Mirrors the reference's "cheap gate before the

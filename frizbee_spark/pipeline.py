@@ -273,31 +273,55 @@ class NearDupPipeline:
 
         documents = self._stage("documents", s_documents)
         # invariant checks run on the checkpointed (parallel) table — one
-        # combined aggregation instead of serial scans of the raw input
+        # combined aggregation instead of serial scans of the raw input.
+        # The agg is SUBMITTED on a side thread so it runs concurrently
+        # with the signature chain (it only reads the checkpoint) and is
+        # JOINED before any result is returned — a violation still aborts
+        # the run before anything downstream becomes visible, it just no
+        # longer serializes a full extra scan onto the critical path.
+        check_future = None
+        check_pool = None
+        has_extract_col = "_extract_ok" in documents.columns
         if cfg.check_extraction or cfg.check_id_collisions:
+            import concurrent.futures
+
             aggs = [F.count("*").alias("n"), F.countDistinct("doc_id").alias("d")]
-            if "_extract_ok" in documents.columns:
+            if has_extract_col:
                 aggs.append(
                     F.sum(F.when(~F.col("_extract_ok"), 1).otherwise(0)).alias("bad")
                 )
-            c = documents.agg(*aggs).collect()[0]
-            if "_extract_ok" in documents.columns and cfg.check_extraction and c["bad"]:
-                self.store.invalidate("documents")
-                raise AssertionError(
-                    f"extraction broke byte-identity for {c['bad']} urls"
-                )
-            if cfg.check_id_collisions and c["n"] != c["d"]:
-                self.store.invalidate("documents")
-                raise AssertionError(
-                    f"doc_id collision: {c['n']} rows, {c['d']} distinct ids"
-                )
+            agg_df = documents.agg(*aggs)
+            check_pool = concurrent.futures.ThreadPoolExecutor(1)
+            check_future = check_pool.submit(lambda: agg_df.collect()[0])
+        if has_extract_col:
             documents = documents.drop("_extract_ok")
         if "norm_text" not in documents.columns:
             # resumed from a checkpoint written before norm_text was
             # persisted — recompute it as an expression
             documents = normalize_text(documents, "text")
         out["documents"] = documents
+
+        def _join_check():
+            nonlocal check_future
+            if check_future is None:
+                return
+            c = check_future.result()
+            check_pool.shutdown()
+            check_future = None
+            msg = None
+            if has_extract_col and cfg.check_extraction and c["bad"]:
+                msg = f"extraction broke byte-identity for {c['bad']} urls"
+            elif cfg.check_id_collisions and c["n"] != c["d"]:
+                msg = f"doc_id collision: {c['n']} rows, {c['d']} distinct ids"
+            if msg is not None:
+                # every checkpoint derived from the bad documents table
+                # must go too, or a re-run would resume from stale stages
+                for st in STAGES:
+                    self.store.invalidate(st)
+                raise AssertionError(msg)
+
         if until == "documents":
+            _join_check()
             self.flush_metrics()
             return out
 
@@ -328,6 +352,7 @@ class NearDupPipeline:
             )
             out["signatures"] = signatures
             if until == "signatures":
+                _join_check()
                 self.flush_metrics()
                 return out
 
@@ -339,6 +364,7 @@ class NearDupPipeline:
             )
             out["candidates"] = candidates
             if until == "candidates":
+                _join_check()
                 self.flush_metrics()
                 return out
 
@@ -347,6 +373,7 @@ class NearDupPipeline:
                     "span_pairs", lambda: winnow_span_pairs(documents, d)
                 )
             if until == "span_pairs":
+                _join_check()
                 self.flush_metrics()
                 return out
 
@@ -361,6 +388,7 @@ class NearDupPipeline:
         finally:
             # always join the concurrent span branch (success or failure)
             _join_span()
+        _join_check()
         if until == "verified":
             self.flush_metrics()
             return out
