@@ -4,6 +4,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from frizbee_spark.operators.textstats import (
+    bpe_token_stats,
     doc_fingerprint,
     exact_dup_groups,
     language_id,
@@ -34,6 +35,23 @@ class TestTextStats:
         assert got[1]["n_tokens"] == 9
         assert got[1]["n_distinct_tokens"] == 8  # 'the' twice
         assert got[5]["n_tokens"] == 4
+
+    def test_bpe_token_stats(self, docs):
+        got = {r["doc_id"]: r for r in bpe_token_stats(docs).collect()}
+        # plain space-separated words: one BPE pre-token per word
+        assert got[1]["n_bpe_tokens"] == got[1]["n_ws_tokens"] == 9
+        assert got[1]["tokens_per_word"] == pytest.approx(1.0)
+
+    def test_bpe_token_stats_contractions_digits_punct(self, spark):
+        df = spark.createDataFrame(
+            [(1, "it's a test-case, isn't it? 123 456")],
+            "doc_id long, text string",
+        )
+        got = bpe_token_stats(df).collect()[0]
+        # it|'s| a| test|-|case|,| isn|'t| it|?| 123| 456  -> 13 pre-tokens
+        assert got["n_bpe_tokens"] == 13
+        assert got["n_ws_tokens"] == 7
+        assert got["tokens_per_word"] == pytest.approx(13 / 7, abs=1e-4)
 
     def test_exact_dup_groups(self, docs):
         got = {r["text_md5"]: r for r in exact_dup_groups(docs).collect()}
