@@ -276,6 +276,29 @@ def q_winnow_span_pairs(spark, sf_dir):
     return winnow_span_pairs(_norm_docs(spark, sf_dir), _dedup_cfg()).orderBy("a", "b")
 
 
+SPAN_EXACT_K = 32
+
+
+def q_span_exact_pairs(spark, sf_dir):
+    """The winnowing span machinery in its densest (degenerate) setting —
+    window=1 keeps EVERY shingle hash, min_shared=1 keeps every pair — so
+    the operator computes exactly "pairs of docs (len >= 100) sharing at
+    least one 32-byte substring, with the count of distinct shared
+    32-grams". That semantic IS ANSI-SQL-expressible, giving the
+    winnowing kernel + CSR plumbing + fingerprint-bucket pair generation
+    a full value-hash oracle (the production window=16 configuration
+    keeps the rows-only check in q_winnow_span_pairs)."""
+    from frizbee_spark.operators.dedup import DedupConfig, winnow_span_pairs
+
+    cfg = DedupConfig(span_min_len=100, span_shingle_k=SPAN_EXACT_K,
+                      winnow_window=1, span_min_shared=1)
+    return (
+        winnow_span_pairs(_docs(spark, sf_dir), cfg, text_col="text")
+        .select("a", "b", "shared_fps")
+        .orderBy("a", "b")
+    )
+
+
 def q_fuzzy_match(spark, sf_dir):
     from frizbee_spark.constants import MatchConfig
     from frizbee_spark.operators.fuzzy import fuzzy_match
@@ -308,6 +331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sw_verified_pairs": q_sw_verified_pairs,
         "dedup_clusters": q_dedup_clusters,
         "winnow_span_pairs": q_winnow_span_pairs,
+        "span_exact_pairs": q_span_exact_pairs,
         "fuzzy_match": q_fuzzy_match,
     }
 
@@ -584,6 +608,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT n.doc_id, n.n_bytes,
                    round(coalesce(e.ent, 0.0), 4) AS entropy
             FROM n LEFT JOIN e ON n.doc_id = e.doc_id
+        """,
+        "span_exact_pairs": f"""
+            WITH g AS (
+                SELECT DISTINCT doc_id,
+                       substr(text, i, {SPAN_EXACT_K}) AS gram
+                FROM documents,
+                     unnest(generate_series(1, length(text) - {SPAN_EXACT_K} + 1)) AS t(i)
+                WHERE length(text) >= 100
+            )
+            SELECT x.doc_id AS a, y.doc_id AS b,
+                   count(DISTINCT x.gram) AS shared_fps
+            FROM g x JOIN g y ON x.gram = y.gram AND x.doc_id < y.doc_id
+            GROUP BY 1, 2
         """,
         "greedy_match": f"""
             {_GREEDY_CTE}
