@@ -71,13 +71,13 @@ def main() -> None:
                               f"frizbee_bench_corpus_{docs}"), docs)
 
     # Interleave the levels (small, big, small, big, ...) and keep the
-    # best of 3 per level: the host VM's ambient load swings wall times
+    # best of 4 per level: the host VM's ambient load swings wall times
     # by +-30-60% on a scale of minutes (measured — identical runs 52s vs
     # 83s), so consecutive same-level runs would let one bad window bias
     # a whole level. Interleaving samples both levels under similar
     # conditions; best-per-level reports each level's least-disturbed run.
     rs_small, rs_big = [], []
-    for _ in range(3):
+    for _ in range(4):
         rs_small.append(run_once(n_small, docs))
         rs_big.append(run_once(n_big, docs))
     r_small = min(rs_small, key=lambda r: r["dedup_wall_sec"])
@@ -115,8 +115,12 @@ deterministic hashes and order-insensitive aggregations).
 """
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md")
     existing = open(path).read() if os.path.exists(path) else "# BENCH\n\n"
-    if "## Scaling" in existing:
-        existing = re.sub(r"## Scaling.*?(?=\n## |\Z)", section, existing, flags=re.S)
+    # match ONLY this harness's own section (count=1, exact header prefix)
+    # — a bare "## Scaling.*?" pattern would also swallow neighboring
+    # sections whose titles start with "Scaling"
+    pat = r"## Scaling \(local.*?(?=\n## |\Z)"
+    if re.search(pat, existing, flags=re.S):
+        existing = re.sub(pat, section, existing, count=1, flags=re.S)
     else:
         existing = existing.rstrip() + "\n\n" + section
     open(path, "w").write(existing)
