@@ -4,11 +4,14 @@ entry(spark)      — flagship: full near-dup detection + clustering over the
                     sf0.001 documents table.
 queries()         — one entry per implemented operator (SURVEY.md §2).
 oracle_sql()      — DuckDB-equivalent SQL for every SQL-expressible query;
-                    non-relational ops (MinHash/LSH/SW) get the rows-only
-                    check by design. The greedy fuzzy matcher, media
-                    byte-stats, ANN top-k, and embedding near-dups DO have
-                    full oracles (recursive-CTE scan simulation / unnest
-                    histogram / brute-force cosine).
+                    only the SW-verify-dependent ops (banded wavefront
+                    scoring) keep the rows-only check. The greedy fuzzy
+                    matcher, media byte-stats, ANN top-k, embedding
+                    near-dups, AND the full MinHash-LSH / SimHash candidate
+                    pipelines have value-hash oracles (recursive-CTE scan
+                    simulation / unnest histogram / brute-force cosine /
+                    pure-SQL splitmix64+OPH+banding re-derivation in
+                    frizbee_spark/functions/sql_oracles.py).
 
 Column-name parity rule: every computed column is aliased identically in
 the Spark plan and the oracle SQL (the driver hash-compares values under
@@ -238,11 +241,11 @@ def q_greedy_match(spark, sf_dir):
     )
 
 
-# ---------------------------------------------------------------------------
-# queries — non-SQL-expressible (rows-only check)
-# ---------------------------------------------------------------------------
-
 def q_minhash_lsh_candidates(spark, sf_dir):
+    """Full MinHash-LSH candidate pipeline (normalize -> rolling k-gram
+    hash -> OPH signature -> band keys -> bucket pairs). Oracle: the
+    pure-SQL re-derivation in sql_oracles.minhash_lsh_sql (splitmix64
+    via HUGEINT half-multiplies; validated byte-identical at two SFs)."""
     from frizbee_spark.operators.dedup import compute_signatures, lsh_band_pairs
 
     cfg = _dedup_cfg()
@@ -251,11 +254,18 @@ def q_minhash_lsh_candidates(spark, sf_dir):
 
 
 def q_simhash_pairs(spark, sf_dir):
+    """SimHash chunk-bucket candidates + Hamming filter. Oracle: the
+    pure-SQL bit-majority SimHash in sql_oracles.simhash_pairs_sql."""
     from frizbee_spark.operators.dedup import compute_signatures, simhash_pairs
 
     cfg = _dedup_cfg()
     sigs = compute_signatures(_norm_docs(spark, sf_dir), cfg)
     return simhash_pairs(sigs, cfg).orderBy("a", "b")
+
+
+# ---------------------------------------------------------------------------
+# queries — non-SQL-expressible (rows-only check)
+# ---------------------------------------------------------------------------
 
 
 def q_sw_verified_pairs(spark, sf_dir):
@@ -430,6 +440,12 @@ WITH RECURSIVE gm(doc_id, l, txt, k, h, score, failed) AS (
     )
 )
 """
+
+
+def _sql_oracles():
+    from frizbee_spark.functions import sql_oracles
+
+    return sql_oracles
 
 
 def oracle_sql() -> dict[str, str]:
@@ -622,6 +638,8 @@ def oracle_sql() -> dict[str, str]:
             FROM g x JOIN g y ON x.gram = y.gram AND x.doc_id < y.doc_id
             GROUP BY 1, 2
         """,
+        "minhash_lsh_candidates": _sql_oracles().minhash_lsh_sql(_dedup_cfg()),
+        "simhash_pairs": _sql_oracles().simhash_pairs_sql(_dedup_cfg()),
         "greedy_match": f"""
             {_GREEDY_CTE}
             SELECT doc_id,
