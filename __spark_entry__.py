@@ -281,6 +281,9 @@ def q_dedup_clusters(spark, sf_dir):
 
 
 def q_winnow_span_pairs(spark, sf_dir):
+    """Winnowing span-candidate pairs + byte confirm. Oracle: window-frame
+    sliding-min + DISTINCT in sql_oracles.winnow_span_sql (the kernel's
+    consecutive-dedup + per-(doc,value) unique reduce to exactly that)."""
     from frizbee_spark.operators.dedup import winnow_span_pairs
 
     return winnow_span_pairs(_norm_docs(spark, sf_dir), _dedup_cfg()).orderBy("a", "b")
@@ -310,13 +313,18 @@ def q_span_exact_pairs(spark, sf_dir):
 
 
 def q_fuzzy_match(spark, sf_dir):
+    """Needle search over documents. The typo budget is non-binding
+    (= needle length, the traceback's upper bound), so no row is ever
+    filtered by it — it exists solely to make the kernel run the typo
+    traceback and emit real counts instead of -1, which is what the
+    DuckDB oracle (sql_oracles.fuzzy_match_sql) verifies."""
     from frizbee_spark.constants import MatchConfig
     from frizbee_spark.operators.fuzzy import fuzzy_match
 
     return fuzzy_match(
         _docs(spark, sf_dir), needle=FUZZY_NEEDLE,
         text_col="text", id_cols=["doc_id"],
-        config=MatchConfig(max_typos=None), limit=100,
+        config=MatchConfig(max_typos=len(FUZZY_NEEDLE)), limit=100,
     )
 
 
@@ -640,6 +648,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_lsh_candidates": _sql_oracles().minhash_lsh_sql(_dedup_cfg()),
         "simhash_pairs": _sql_oracles().simhash_pairs_sql(_dedup_cfg()),
+        "winnow_span_pairs": _sql_oracles().winnow_span_sql(_dedup_cfg()),
+        "sw_verified_pairs": _sql_oracles().sw_verified_pairs_sql(_dedup_cfg()),
+        "dedup_clusters": _sql_oracles().dedup_clusters_sql(_dedup_cfg()),
+        "fuzzy_match": _sql_oracles().fuzzy_match_sql(FUZZY_NEEDLE, limit=100),
         "greedy_match": f"""
             {_GREEDY_CTE}
             SELECT doc_id,

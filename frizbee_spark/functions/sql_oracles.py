@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import numpy as np
 
+from frizbee_spark.constants import DEFAULT_SCORING, Scoring
 from frizbee_spark.functions.hashing import splitmix64
 from frizbee_spark.operators.dedup import DEFAULT_DEDUP, DedupConfig
 
@@ -69,18 +70,37 @@ def _sm64_cols(in_expr: str, out: str, p: str) -> str:
     )
 
 
-def _shingle_cte(cfg: DedupConfig) -> str:
-    """normalize + rolling k-gram polynomial hash + splitmix64 finalize.
+def _materialize(sql: str) -> str:
+    """Force every non-recursive CTE to ``AS MATERIALIZED``.
 
-    The numpy kernel computes the k-gram hash as a prefix-sum difference
-    rescaled to the window origin, which equals the direct polynomial
-    ``sum(byte[j] * BASE^j)`` mod 2^64 — expressed directly here.
+    DuckDB inlines plain CTEs at each reference site inside a
+    ``WITH RECURSIVE`` block; chains like gated -> capped -> surv ->
+    chars reference their parents 2-3x each, so inlining re-executes
+    the whole upstream (shingle/OPH/SimHash) pipeline combinatorially —
+    a 3-doc SW-verify oracle took 39s inlined vs 3s materialized.
+    Recursive CTEs are declared ``name(cols) AS (`` and are untouched;
+    named windows (``WINDOW w AS (``) are excluded.
     """
-    k = cfg.shingle_k
+    import re
+
+    return re.sub(r"(?<!WINDOW )\b(\w+) AS \(", r"\1 AS MATERIALIZED (", sql)
+
+
+def _gram_terms(k: int, text_expr: str = "nt") -> str:
+    """SQL polynomial ``sum(byte[j] * BASE^j)`` over the k-gram starting
+    at 1-based position ``i`` of ``text_expr`` — equal to the kernel's
+    prefix-sum-difference rolling hash rescaled to the window origin."""
     pows = [pow(_BASE, j, _M) for j in range(k)]
-    terms = " + ".join(
-        f"ascii(substr(nt, i + {j}, 1))::HUGEINT * {pows[j]}" for j in range(k)
+    return " + ".join(
+        f"ascii(substr({text_expr}, i + {j}, 1))::HUGEINT * {pows[j]}"
+        for j in range(k)
     )
+
+
+def _shingle_cte(cfg: DedupConfig) -> str:
+    """normalize + rolling k-gram polynomial hash + splitmix64 finalize."""
+    k = cfg.shingle_k
+    terms = _gram_terms(k)
     return f"""
 nd AS (
     SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS nt
@@ -193,9 +213,10 @@ allp AS (
 def minhash_lsh_sql(cfg: DedupConfig = DEFAULT_DEDUP) -> str:
     """Full-pipeline SQL oracle for ``lsh_band_pairs(compute_signatures(
     normalize_text(documents)))`` — output columns (a, b)."""
-    return (f"WITH {_shingle_cte(cfg)}, {_oph_band_cte(cfg)}, "
-            + _pairs_cte("bkey", "band_id, band_key", cfg)
-            + "\nSELECT DISTINCT a, b FROM allp ORDER BY a, b")
+    return _materialize(
+        f"WITH {_shingle_cte(cfg)}, {_oph_band_cte(cfg)}, "
+        + _pairs_cte("bkey", "band_id, band_key", cfg)
+        + "\nSELECT DISTINCT a, b FROM allp ORDER BY a, b")
 
 
 def simhash_cte(cfg: DedupConfig) -> str:
@@ -216,10 +237,325 @@ simh AS (
 )"""
 
 
+def winnow_span_sql(cfg: DedupConfig = DEFAULT_DEDUP) -> str:
+    """SQL oracle for ``winnow_span_pairs(normalize_text(documents), cfg)``
+    with confirm=True — output columns (a, b, shared_fps, span_confirmed).
+
+    Winnowing reduction used: the kernel's consecutive-repeat dedup plus
+    the final per-(doc, value) unique mean a doc's fingerprint set is
+    exactly the DISTINCT sliding-window-min values over its shingle-hash
+    stream (every distinct window-min value starts some run, and run
+    starts are always kept), so a window-frame ``min()`` + DISTINCT
+    replicates the kernel bit-for-bit. Docs with fewer than ``window``
+    shingles contribute their single global min — the unified frame
+    (CURRENT ROW .. window-1 FOLLOWING, positions clamped to
+    ``greatest(count - window + 1, 1)``) covers both cases.
+
+    The confirm pass is expressed as its semantic truth — EXISTS a
+    byte-identical shared k-gram — which equals the kernel's
+    hash-intersect + byte-check modulo 64-bit hash collisions.
+    """
+    k, win = cfg.span_shingle_k, cfg.winnow_window
+    return _materialize(f"""
+WITH nd AS (
+    SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS nt
+    FROM documents
+),
+spanwork AS (
+    SELECT doc_id, nt FROM nd WHERE octet_length(encode(nt)) >= {cfg.span_min_len}
+),
+shp AS (
+    SELECT doc_id, i AS pos,
+           count(*) OVER (PARTITION BY doc_id) AS c,
+           {_sm64_cols(f'(({_gram_terms(k)}) % {_M})::UBIGINT', 'sh', 'z')}
+    FROM spanwork, unnest(generate_series(1, length(nt) - {k - 1})) AS t(i)
+),
+wm AS (
+    SELECT doc_id, pos, c,
+           min(sh) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND {win - 1} FOLLOWING
+           ) AS fpv
+    FROM shp
+),
+fps AS (
+    SELECT DISTINCT doc_id, fpv
+    FROM wm WHERE pos <= greatest(c - {win} + 1, 1)
+),
+{_pairs_cte('fps', 'fpv', cfg).lstrip()},
+shared AS (
+    SELECT a, b, count(*) AS shared_fps
+    FROM allp GROUP BY 1, 2
+    HAVING count(*) >= {cfg.span_min_shared}
+),
+grams AS (
+    SELECT DISTINCT doc_id, substr(nt, i, {k}) AS g
+    FROM spanwork, unnest(generate_series(1, length(nt) - {k - 1})) AS t(i)
+)
+SELECT s.a, s.b, s.shared_fps,
+       EXISTS (
+           SELECT 1 FROM grams ga JOIN grams gb ON ga.g = gb.g
+           WHERE ga.doc_id = s.a AND gb.doc_id = s.b
+       ) AS span_confirmed
+FROM shared s
+ORDER BY s.a, s.b""")
+
+
+def _delims_sql(scoring: Scoring) -> str:
+    quoted = ", ".join("'" + chr(c).replace("'", "''") + "'"
+                       for c in scoring.delimiters)
+    return f"({quoted})"
+
+
+def _sw_cell_expr(cfg: DedupConfig, scoring: Scoring) -> str:
+    """Lambda body computing one banded-SW cell as a struct(h, u, l).
+
+    Variables in scope: ``q`` (0-based needle index, the lambda arg) and
+    row columns ``dn`` (diagonal being computed), ``ta``/``tb`` (needle/
+    haystack text), ``sbl`` (static per-haystack-position bonus list),
+    ``h0na`` (first haystack char non-alphabetic), ``lo1``/``c1`` (window
+    start + cell structs of diagonal dn-1), ``lo2``/``h2`` (window start
+    + H list of diagonal dn-2). Reads outside a stored window fall back
+    to the kernel's buffer invariant: H = 0, gap-open masks = TRUE.
+    """
+    mm = scoring.mismatch_penalty
+    go, ge = scoring.gap_open_penalty, scoring.gap_extend_penalty
+    diag_in = "(CASE WHEN q > lo2 THEN coalesce(h2[q - lo2], 0) ELSE 0 END)"
+    left_in = "(CASE WHEN q > lo1 THEN coalesce(c1[q - lo1].h, 0) ELSE 0 END)"
+    # NB: the reference scan carries BOTH gap-open flags along the
+    # haystack axis (oracle.smith_waterman: up_gap_open / left_gap_open
+    # are per-column scalars updated every j step), so the left-gap flag
+    # is read from the UP neighbor (i, j-1), not from (i-1, j).
+    l_open = "coalesce(c1[q - lo1 + 1].l, TRUE)"
+    up_in = "coalesce(c1[q - lo1 + 1].h, 0)"
+    u_open = "coalesce(c1[q - lo1 + 1].u, TRUE)"
+    is_match = "(substr(ta, q + 1, 1) = substr(tb, dn - q + 1, 1))"
+    bonus = (
+        f"(sbl[dn - q + 1]"
+        f" + CASE WHEN dn - q = 0 THEN {scoring.prefix_bonus} ELSE 0 END"
+        f" + CASE WHEN dn - q = 1 AND {diag_in} = 0 AND h0na"
+        f"   THEN {scoring.offset_prefix_bonus} ELSE 0 END)"
+    )
+    d1 = (f"(CASE WHEN {is_match} THEN {diag_in} + {bonus}"
+          f" ELSE greatest({diag_in} - {mm}, 0) END)")
+    ups = f"greatest({up_in} - CASE WHEN {u_open} THEN {go} ELSE {ge} END, 0)"
+    lfs = f"greatest({left_in} - CASE WHEN {l_open} THEN {go} ELSE {ge} END, 0)"
+    h = f"greatest({d1}, {ups}, {lfs})"
+    return (
+        f"struct_pack(h := {h},"
+        f" u := ({h} <> {ups}) OR ({h} = {d1}),"
+        f" l := ({h} <> {lfs}) OR ({h} = {d1}))"
+    )
+
+
+def sw_verify_cte(cfg: DedupConfig = DEFAULT_DEDUP,
+                  scoring: Scoring = DEFAULT_SCORING) -> str:
+    """CTE chain (requires ``nd`` + ``sh`` + ``simh`` upstream) computing
+    ``verified(a, b, score, similarity, exact, verified)`` — the SQL twin
+    of unified_candidate_pairs(include_simhash=False) + verify_pairs with
+    the exact/Hamming pre-join gates and the banded wavefront SW scorer.
+
+    The banded Smith-Waterman runs as a recursive CTE over anti-diagonals
+    (the wavefront has no intra-diagonal dependency): state per (pair,
+    diagonal) is the in-band window of H values + gap-open masks as LIST
+    columns; the per-pair band is independent of batch composition, so
+    the per-pair recursion reproduces sw_score_banded bit-for-bit. The
+    normalized-similarity decision statistic (2*score / (self_a+self_b))
+    and the closed-form self scores match self_scores_batch /
+    normalized_similarity.
+    """
+    R = cfg.band_radius
+    dels = _delims_sql(scoring)
+    per_char = scoring.match_score + scoring.matching_case_bonus
+    self_const = scoring.prefix_bonus + scoring.exact_match_bonus
+    db = scoring.delimiter_bonus
+    return f"""
+txt AS (
+    SELECT doc_id, nt, octet_length(encode(nt)) AS nb, length(nt) AS nc
+    FROM nd
+),
+cand_buckets AS (
+    SELECT doc_id, concat('exact:', md5(nt)) AS ck FROM txt
+    UNION ALL
+    SELECT doc_id, concat('lsh:', band_id, ':', band_key) AS ck FROM bkey
+),
+{_pairs_cte('cand_buckets', 'ck', cfg).lstrip()},
+cand AS (SELECT DISTINCT a, b FROM allp),
+gated AS (
+    SELECT c.a, c.b, xa.nt AS ta, xb.nt AS tb, xa.nc AS n, xb.nc AS m,
+           (xa.nt = xb.nt) AS is_exact,
+           bit_count(xor(sa.sim, sb.sim)) AS ham,
+           (xa.nt <> xb.nt
+            AND least(xa.nb, xb.nb) >= {cfg.hamming_gate_min_bytes}
+            AND bit_count(xor(sa.sim, sb.sim)) > {cfg.verify_hamming_reject})
+               AS is_rej
+    FROM cand c
+    JOIN txt xa ON xa.doc_id = c.a
+    JOIN txt xb ON xb.doc_id = c.b
+    JOIN simh sa ON sa.doc_id = c.a
+    JOIN simh sb ON sb.doc_id = c.b
+),
+-- unified_candidate_pairs drops Hamming-rejected pairs outright, then
+-- applies the per-doc degree cap: rank each doc's surviving partners by
+-- (Hamming, partner id); an edge survives if EITHER endpoint ranks it
+-- within degree_cap (dedup.py unified_candidate_pairs)
+bidir AS (
+    SELECT a AS u, b AS v, ham FROM gated WHERE NOT is_rej
+    UNION ALL
+    SELECT b AS u, a AS v, ham FROM gated WHERE NOT is_rej
+),
+capped AS (
+    SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+    FROM (
+        SELECT u, v,
+               row_number() OVER (PARTITION BY u ORDER BY ham, v) AS rk
+        FROM bidir
+    ) WHERE rk <= {cfg.degree_cap}
+),
+surv AS (
+    SELECT g.* FROM gated g JOIN capped c ON c.a = g.a AND c.b = g.b
+    WHERE NOT g.is_exact
+),
+survdocs AS (
+    SELECT DISTINCT doc_id FROM (
+        SELECT a AS doc_id FROM surv UNION ALL SELECT b FROM surv
+    )
+),
+chars AS (
+    SELECT d.doc_id, u.p, substr(t.nt, u.p, 1) AS ch,
+           substr(t.nt, u.p - 1, 1) AS pch
+    FROM survdocs d JOIN txt t USING (doc_id),
+         unnest(generate_series(1, t.nc)) AS u(p)
+),
+fnds AS (
+    SELECT doc_id, min(p) AS fnd FROM chars
+    WHERE ch NOT IN {dels} GROUP BY 1
+),
+-- closed-form self-alignment score (self_scores_batch): per-char
+-- match+case, delimiter bonus on qualifying positions, prefix+exact
+selfsc AS (
+    SELECT c.doc_id,
+           {per_char} * max(c.p) + {self_const}
+           + {db} * count(*) FILTER (
+                 WHERE c.p > 1 AND c.ch NOT IN {dels}
+                   AND c.pch IN {dels} AND f.fnd < c.p
+             ) AS sc
+    FROM chars c JOIN fnds f USING (doc_id)
+    GROUP BY c.doc_id
+),
+-- static per-haystack-position bonus (match + folded case + delimiter)
+sbls AS (
+    SELECT c.doc_id,
+           list(
+               {per_char}
+               + CASE WHEN c.p > 1 AND c.ch NOT IN {dels}
+                       AND c.pch IN {dels} AND f.fnd < c.p
+                 THEN {db} ELSE 0 END
+               ORDER BY c.p
+           ) AS sbl
+    FROM chars c JOIN fnds f USING (doc_id)
+    GROUP BY c.doc_id
+),
+swp AS (
+    SELECT s.a, s.b, s.ta, s.tb, s.n, s.m, bl.sbl,
+           lower(substr(s.tb, 1, 1)) NOT BETWEEN 'a' AND 'z' AS h0na
+    FROM surv s JOIN sbls bl ON bl.doc_id = s.b
+),
+sw(a, b, ta, tb, n, m, sbl, h0na, d, lo1, c1, lo2, h2, best) AS (
+    SELECT a, b, ta, tb, n, m, sbl, h0na,
+           -1, 0, CAST([] AS STRUCT(h BIGINT, u BOOLEAN, l BOOLEAN)[]),
+           0, CAST([] AS BIGINT[]), 0::BIGINT
+    FROM swp
+    UNION ALL
+    SELECT a, b, ta, tb, n, m, sbl, h0na,
+           dn,
+           lo_n,
+           cells,
+           lo1,
+           list_transform(c1, x -> x.h),
+           greatest(best,
+                    coalesce(list_max(list_transform(cells, x -> x.h)), 0))
+    FROM (
+        SELECT z.*,
+               list_transform(
+                   generate_series(z.lo_n, z.hi_n),
+                   q -> {_sw_cell_expr(cfg, scoring)}
+               ) AS cells
+        FROM (
+            SELECT *,
+                   d + 1 AS dn,
+                   greatest(0, d + 1 - m + 1,
+                            CASE WHEN d + 1 - {R} + 1 >= 0
+                                 THEN (d + 1 - {R} + 1) // 2 ELSE 0 END) AS lo_n,
+                   least(n - 1, d + 1, (d + 1 + {R}) // 2) AS hi_n
+            FROM sw
+            WHERE d + 1 <= n + m - 2
+              AND greatest(0, d + 1 - m + 1,
+                           CASE WHEN d + 1 - {R} + 1 >= 0
+                                THEN (d + 1 - {R} + 1) // 2 ELSE 0 END)
+                  <= least(n - 1, d + 1, (d + 1 + {R}) // 2)
+        ) z
+    )
+),
+swsc AS (SELECT a, b, max(best) AS score FROM sw GROUP BY 1, 2),
+verified AS (
+    SELECT g.a, g.b, 0::BIGINT AS score, CAST(1 AS DOUBLE) AS similarity,
+           TRUE AS exact, TRUE AS verified
+    FROM gated g JOIN capped c ON c.a = g.a AND c.b = g.b
+    WHERE g.is_exact
+    UNION ALL
+    SELECT g.a, g.b, s.score::BIGINT,
+           least(CAST(2 AS DOUBLE) * s.score / (sa.sc + sb.sc),
+                 CAST(1 AS DOUBLE)) AS similarity,
+           FALSE,
+           least(CAST(2 AS DOUBLE) * s.score / (sa.sc + sb.sc),
+                 CAST(1 AS DOUBLE)) >= {cfg.sim_threshold}
+    FROM surv g
+    JOIN swsc s ON s.a = g.a AND s.b = g.b
+    JOIN selfsc sa ON sa.doc_id = g.a
+    JOIN selfsc sb ON sb.doc_id = g.b
+)"""
+
+
+def sw_verified_pairs_sql(cfg: DedupConfig = DEFAULT_DEDUP) -> str:
+    """Full SQL oracle for the gated SW-verified-pairs query — output
+    columns (a, b, score, similarity, exact, verified)."""
+    return _materialize(
+        f"WITH RECURSIVE {_shingle_cte(cfg)}, {_oph_band_cte(cfg)},"
+        f"{simhash_cte(cfg)}, {sw_verify_cte(cfg)}\n"
+        "SELECT a, b, score, similarity, exact, verified FROM verified "
+        "ORDER BY a, b"
+    )
+
+
+def dedup_clusters_sql(cfg: DedupConfig = DEFAULT_DEDUP) -> str:
+    """Full SQL oracle for the end-to-end dedup clusters: SW-verified
+    edges -> connected components (min-id labeling via recursive reach,
+    equal to the large/small-star fixpoint) — output (doc_id, cluster_id)
+    for every document."""
+    return _materialize(
+        f"WITH RECURSIVE {_shingle_cte(cfg)}, {_oph_band_cte(cfg)},"
+        f"{simhash_cte(cfg)}, {sw_verify_cte(cfg)},\n"
+        """
+edges AS (SELECT a, b FROM verified WHERE verified),
+ebidir AS (
+    SELECT a AS u, b AS v FROM edges
+    UNION SELECT b AS u, a AS v FROM edges
+),
+reach(u, v) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT r.u, d.v FROM reach r JOIN ebidir d ON r.v = d.u
+),
+clusters AS (SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u)
+SELECT doc_id, cluster_id FROM clusters ORDER BY doc_id"""
+    )
+
+
 def simhash_pairs_sql(cfg: DedupConfig = DEFAULT_DEDUP) -> str:
     """Full-pipeline SQL oracle for ``simhash_pairs(compute_signatures(
     normalize_text(documents)))`` — output columns (a, b)."""
-    return f"""WITH {_shingle_cte(cfg)},
+    return _materialize(f"""WITH {_shingle_cte(cfg)},
 {simhash_cte(cfg)},
 chunks AS (
     SELECT doc_id, i AS chunk_id, ((sim >> (16 * i)) & 65535) AS chunk
@@ -230,4 +566,211 @@ SELECT DISTINCT p.a, p.b FROM allp p
 JOIN simh sa ON sa.doc_id = p.a
 JOIN simh sb ON sb.doc_id = p.b
 WHERE bit_count(xor(sa.sim, sb.sim)) <= {cfg.hamming_max}
-ORDER BY p.a, p.b"""
+ORDER BY p.a, p.b""")
+
+
+def fuzzy_match_sql(
+    needle: str,
+    limit: int = 100,
+    scoring: Scoring = DEFAULT_SCORING,
+) -> str:
+    """Full SQL oracle for ``fuzzy_match(documents, needle,
+    config=MatchConfig(max_typos=None), limit=..., route="auto")`` —
+    output columns (doc_id, score, typos, exact).
+
+    Mirrors the auto route exactly: docs up to ``dp_max`` chars run the
+    full (unbanded) wavefront DP — the same recursive-CTE wavefront as
+    :func:`sw_verify_cte` but with needle-width (<= len(needle)) diagonal
+    state and no band clipping — plus the typo traceback
+    (oracle.typos_from_score_matrix: start at the first argmax of the
+    last needle column, walk preferring diag >= left >= up, count
+    left-moves / non-improving diagonal moves, col-0 zero-score
+    compensation), run only for docs surviving the top-``limit`` cut.
+    Longer docs run the greedy first-match-wins scan as a
+    len(needle)-step recursion (greedy.rs semantics; the reference's
+    typo count for the greedy path is 0).
+
+    Fixture-scoped simplifications (assert before reuse elsewhere): the
+    documents fixture is ASCII and lowercase and starts with a
+    non-delimiter, so char length == byte length, the capitalization
+    bonus never fires, every match earns the matching-case bonus, and
+    "a non-delimiter was seen before position p" reduces to p > 0.
+    """
+    from ..constants import LENGTH_BUCKETS, SW_MAX_CELLS
+
+    nd = needle.replace("'", "''")
+    nlen = len(needle)
+    dp_max = min(LENGTH_BUCKETS[-1], SW_MAX_CELLS // max(nlen, 1))
+    dels = _delims_sql(scoring)
+    per_char = scoring.match_score + scoring.matching_case_bonus
+    db = scoring.delimiter_bonus
+    cell = _sw_cell_expr(DEFAULT_DEDUP, scoring)
+    return _materialize(f"""
+WITH RECURSIVE
+fdocs AS (SELECT doc_id, text AS tb, length(text) AS m FROM documents),
+fdp AS (SELECT doc_id, tb, m FROM fdocs WHERE m <= {dp_max}),
+fchars AS (
+    SELECT doc_id, u.p, substr(tb, u.p, 1) AS ch, substr(tb, u.p - 1, 1) AS pch
+    FROM fdp, unnest(generate_series(1, m)) AS u(p)
+),
+ffnds AS (
+    SELECT doc_id, min(p) AS fnd FROM fchars
+    WHERE ch NOT IN {dels} GROUP BY 1
+),
+fsbls AS (
+    SELECT c.doc_id,
+           list(
+               {per_char}
+               + CASE WHEN c.p > 1 AND c.ch NOT IN {dels}
+                       AND c.pch IN {dels} AND coalesce(f.fnd, 2147483647) < c.p
+                 THEN {db} ELSE 0 END
+               ORDER BY c.p
+           ) AS sbl
+    FROM fchars c LEFT JOIN ffnds f USING (doc_id)
+    GROUP BY c.doc_id
+),
+fswp AS (
+    SELECT d.doc_id, '{nd}' AS ta, d.tb, {nlen} AS n, d.m, bl.sbl,
+           lower(substr(d.tb, 1, 1)) NOT BETWEEN 'a' AND 'z' AS h0na
+    FROM fdp d JOIN fsbls bl ON bl.doc_id = d.doc_id
+),
+fsw(doc_id, ta, tb, n, m, sbl, h0na, d, lo1, c1, lo2, h2, best) AS (
+    SELECT doc_id, ta, tb, n, m, sbl, h0na,
+           -1, 0, CAST([] AS STRUCT(h BIGINT, u BOOLEAN, l BOOLEAN)[]),
+           0, CAST([] AS BIGINT[]), 0::BIGINT
+    FROM fswp
+    UNION ALL
+    SELECT doc_id, ta, tb, n, m, sbl, h0na,
+           dn, lo_n, cells, lo1,
+           list_transform(c1, x -> x.h),
+           greatest(best,
+                    coalesce(list_max(list_transform(cells, x -> x.h)), 0))
+    FROM (
+        SELECT z.*,
+               list_transform(
+                   generate_series(z.lo_n, z.hi_n),
+                   q -> {cell}
+               ) AS cells
+        FROM (
+            SELECT *, d + 1 AS dn,
+                   greatest(0, d + 1 - m + 1) AS lo_n,
+                   least(n - 1, d + 1) AS hi_n
+            FROM fsw WHERE d + 1 <= n + m - 2
+        ) z
+    )
+),
+fdpsc AS (SELECT doc_id, max(best) AS raw FROM fsw GROUP BY 1),
+fdpout AS (
+    SELECT s.doc_id,
+           s.raw + CASE WHEN d.tb = '{nd}'
+                   THEN {scoring.exact_match_bonus} ELSE 0 END AS score,
+           (d.tb = '{nd}') AS exact
+    FROM fdpsc s JOIN fdp d USING (doc_id)
+),
+fg(doc_id, l, txt, k, h, score, failed) AS (
+    SELECT doc_id, m, tb, 0, 0, 0, m < {nlen}
+    FROM fdocs WHERE m > {dp_max}
+    UNION ALL
+    SELECT doc_id, l, txt, k + 1,
+           CASE WHEN ok THEN p + 1 ELSE h END,
+           CASE WHEN ok THEN
+               greatest(score + {scoring.match_score}
+                        - CASE WHEN p > h AND k > 0
+                               THEN {scoring.gap_open_penalty}
+                                    + (p - h - 1) * {scoring.gap_extend_penalty}
+                          ELSE 0 END, 0)
+               + {scoring.matching_case_bonus}
+               + CASE WHEN p = 0 THEN {scoring.prefix_bonus} ELSE 0 END
+               + CASE WHEN p > 0 AND substr(txt, p, 1) IN {dels}
+                           AND nc NOT IN {dels} THEN {db} ELSE 0 END
+           ELSE score END,
+           failed OR NOT ok
+    FROM (
+        SELECT *,
+               CASE WHEN pos1 > 0 AND NOT failed THEN true ELSE false END AS ok,
+               h + pos1 - 1 AS p
+        FROM (
+            SELECT *,
+                   CASE WHEN win_len > 0 AND NOT failed
+                        THEN strpos(substr(txt, h + 1, win_len), nc)
+                        ELSE 0 END AS pos1
+            FROM (
+                SELECT *,
+                       substr('{nd}', k + 1, 1) AS nc,
+                       (l - {nlen} + k) - h + 1 AS win_len
+                FROM fg WHERE k < {nlen}
+            )
+        )
+    )
+),
+fgout AS (
+    SELECT doc_id, CASE WHEN failed THEN 0 ELSE score END AS score,
+           false AS exact
+    FROM fg WHERE k = {nlen}
+),
+fall AS (
+    SELECT doc_id, score, exact FROM fdpout
+    UNION ALL SELECT doc_id, score, exact FROM fgout
+),
+ftop AS (
+    SELECT doc_id, score, exact FROM fall
+    ORDER BY score DESC, doc_id LIMIT {limit}
+),
+fcells AS MATERIALIZED (
+    SELECT w.doc_id, w.lo1 + g.k AS i, w.d - (w.lo1 + g.k) AS j,
+           w.c1[g.k + 1].h AS h
+    FROM fsw w JOIN ftop t USING (doc_id),
+         unnest(generate_series(0, len(w.c1) - 1)) AS g(k)
+    WHERE w.d >= 0
+),
+flast AS (SELECT doc_id, j, h FROM fcells WHERE i = {nlen - 1}),
+fbest AS (SELECT doc_id, max(h) AS b FROM flast GROUP BY 1),
+fseed AS (
+    SELECT b.doc_id, {nlen - 1} AS col,
+           CASE WHEN b.b > 0 THEN min(l.j) ELSE 0 END AS row,
+           b.b AS sc, 0 AS ty
+    FROM fbest b LEFT JOIN flast l ON l.doc_id = b.doc_id AND l.h = b.b
+    GROUP BY b.doc_id, b.b
+),
+ftb(doc_id, col, row, sc, ty) AS (
+    SELECT doc_id, col, row, sc, ty FROM fseed
+    UNION ALL
+    SELECT doc_id,
+           CASE WHEN row = 0 THEN col - 1
+                WHEN dg >= lf AND dg >= up THEN col - 1
+                WHEN lf >= up THEN col - 1
+                ELSE col END,
+           CASE WHEN row = 0 THEN row
+                WHEN dg >= lf AND dg >= up THEN row - 1
+                WHEN lf >= up THEN row
+                ELSE row - 1 END,
+           CASE WHEN row = 0 THEN sc
+                WHEN dg >= lf AND dg >= up THEN dg
+                WHEN lf >= up THEN lf
+                ELSE up END,
+           ty + CASE WHEN row = 0 THEN 1
+                WHEN dg >= lf AND dg >= up THEN
+                    CASE WHEN dg >= sc THEN 1 ELSE 0 END
+                WHEN lf >= up THEN 1
+                ELSE 0 END
+    FROM (
+        SELECT t.*,
+               coalesce(cd.h, 0) AS dg, coalesce(cl.h, 0) AS lf,
+               coalesce(cu.h, 0) AS up
+        FROM ftb t
+        LEFT JOIN fcells cd ON t.row > 0 AND cd.doc_id = t.doc_id
+                           AND cd.i = t.col - 1 AND cd.j = t.row - 1
+        LEFT JOIN fcells cl ON t.row > 0 AND cl.doc_id = t.doc_id
+                           AND cl.i = t.col - 1 AND cl.j = t.row
+        LEFT JOIN fcells cu ON t.row > 0 AND cu.doc_id = t.doc_id
+                           AND cu.i = t.col AND cu.j = t.row - 1
+        WHERE t.col > 0
+    )
+),
+ftypos AS (
+    SELECT doc_id, ty + CASE WHEN sc = 0 THEN 1 ELSE 0 END AS typos
+    FROM ftb WHERE col = 0
+)
+SELECT t.doc_id, t.score, coalesce(ty.typos, 0)::BIGINT AS typos, t.exact
+FROM ftop t LEFT JOIN ftypos ty USING (doc_id)
+ORDER BY t.score DESC, t.doc_id""")
