@@ -553,7 +553,7 @@ def winnow_fingerprints(
     shingle_hashes: np.ndarray,
     shingle_starts: np.ndarray,
     window: int = 64,
-) -> tuple[np.ndarray, np.ndarray]:
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Winnowing (Schleimer et al., SIGMOD'03 — public algorithm): per doc,
     the min shingle hash of every length-`window` window, deduped on
     consecutive repeats. Guarantees any shared run of >= window+k-1 bytes
@@ -561,12 +561,17 @@ def winnow_fingerprints(
     candidate pass (our analog of rerouting oversized inputs,
     /root/reference/src/one_shot/mod.rs:20-25).
 
-    Returns (fingerprints, fp_starts) CSR-style; docs with fewer than
-    `window` shingles contribute their single global min.
+    Returns (fingerprints, positions, fp_starts) CSR-style; docs with
+    fewer than `window` shingles contribute their single global min.
+    ``positions`` is each fingerprint's doc-relative shingle index (== byte
+    offset of the shingle, step-1 byte shingling), so a downstream consumer
+    can byte-compare the actual k-gram behind a shared fingerprint without
+    re-shingling the document (JVM ``substring`` on the encoded text).
     """
     ndocs = shingle_starts.size - 1
     if ndocs == 0:
-        return np.empty(0, dtype=_U64), np.zeros(1, dtype=np.int64)
+        z64 = np.zeros(1, dtype=np.int64)
+        return np.empty(0, dtype=_U64), np.empty(0, dtype=np.int64), z64
     counts = np.diff(shingle_starts)
 
     # sliding min over the concatenated hash array via sparse-table
@@ -623,23 +628,51 @@ def winnow_fingerprints(
         kpos = kpos[in_region]
         kept_val = rolled[kpos]
         kept_doc = big_docs[ridx[in_region]]
+        # position of the min inside each kept window [kpos, kpos+window):
+        # chunked gather keeps the (m, window) compare matrix L2-resident
+        kept_pos = np.empty(kpos.size, dtype=np.int64)
+        ar = np.arange(window, dtype=np.int64)
+        CH = 1 << 15
+        for i0 in range(0, kpos.size, CH):
+            i1 = min(i0 + CH, kpos.size)
+            idx = kpos[i0:i1, None] + ar
+            eq = shingle_hashes[idx] == kept_val[i0:i1, None]
+            kept_pos[i0:i1] = kpos[i0:i1] + eq.argmax(axis=1)
     else:
         kept_doc = np.empty(0, dtype=np.int64)
         kept_val = np.empty(0, dtype=_U64)
+        kept_pos = np.empty(0, dtype=np.int64)
+
+    # small docs: first occurrence of the doc's global min
+    if small_docs.size:
+        sstarts = shingle_starts[:-1][small_docs]
+        scnt = counts[small_docs]
+        wmax = int(scnt.max()) if scnt.size else 0
+        ar = np.arange(max(wmax, 1), dtype=np.int64)
+        idx = np.minimum(sstarts[:, None] + ar, shingle_hashes.size - 1)
+        eq = (shingle_hashes[idx] == doc_min[small_docs][:, None]) & (
+            ar < scnt[:, None]
+        )
+        small_pos = sstarts + eq.argmax(axis=1)
+    else:
+        small_pos = np.empty(0, dtype=np.int64)
 
     all_doc = np.concatenate([kept_doc, small_docs])
     all_val = np.concatenate([kept_val, doc_min[small_docs]])
-    order = np.lexsort((all_val, all_doc))
-    d_s, v_s = all_doc[order], all_val[order]
+    all_pos = np.concatenate([kept_pos, small_pos])
+    order = np.lexsort((all_pos, all_val, all_doc))
+    d_s, v_s, p_s = all_doc[order], all_val[order], all_pos[order]
     uniq = np.empty(d_s.size, dtype=bool)
     uniq[0] = True
     uniq[1:] = (d_s[1:] != d_s[:-1]) | (v_s[1:] != v_s[:-1])
     fp = v_s[uniq]
+    # doc-relative byte offset of the (first, by position) occurrence
+    pos = p_s[uniq] - shingle_starts[:-1][d_s[uniq]]
     sizes = np.bincount(d_s[uniq], minlength=ndocs)
 
     fp_starts = np.zeros(ndocs + 1, dtype=np.int64)
     np.cumsum(sizes, out=fp_starts[1:])
-    return fp, fp_starts
+    return fp, pos, fp_starts
 
 
 def jaccard_from_shingles(

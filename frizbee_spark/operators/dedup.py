@@ -205,7 +205,8 @@ def compute_signatures(
 # ---------------------------------------------------------------------------
 
 def _bucket_pairs_kernel(
-    flat: np.ndarray, sizes: np.ndarray, cfg: DedupConfig
+    flat: np.ndarray, sizes: np.ndarray, cfg: DedupConfig,
+    return_indices: bool = False,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Pair edges for consecutive COMPLETE buckets (``flat`` holds each
     bucket's ids contiguously, ascending within bucket; ``sizes`` are the
@@ -217,6 +218,11 @@ def _bucket_pairs_kernel(
       salt_threshold), linear in bucket size, plus rep links joining the
       per-salt minima — identical connectivity semantics to the SQL
       window formulation this replaces.
+
+    With ``return_indices`` the canonical (a<b) pair is returned as
+    positions INTO ``flat`` instead of id values, so the caller can gather
+    per-row payload columns (e.g. fingerprint byte offsets) alongside the
+    ids without a second pass.
     """
     from ..functions.hashing import splitmix64
 
@@ -233,14 +239,16 @@ def _bucket_pairs_kernel(
     out_b: list[np.ndarray] = []
 
     # dense buckets: for each offset d, pair element t with t+d
+    # (out_a/out_b accumulate positions into `flat`; values are gathered
+    # once at the end so payload columns can reuse the same indices)
     dense_mask = (seg_size <= cfg.dense_cap) & (seg_size > 1)
     if dense_mask.any():
         max_d = int(seg_size[dense_mask].max())
         for d in range(1, max_d):
             sel = np.flatnonzero(dense_mask & (local + d < seg_size))
             if sel.size:
-                out_a.append(flat[sel])
-                out_b.append(flat[sel + d])
+                out_a.append(sel)
+                out_b.append(sel + d)
 
     big_mask = seg_size > cfg.dense_cap
     if big_mask.any():
@@ -262,33 +270,39 @@ def _bucket_pairs_kernel(
         run_id = np.cumsum(new_grp) - 1
         # chain: consecutive elements of the same (segment, salt) run
         same = ~new_grp[1:]
-        out_a.append(s_ids[:-1][same])
-        out_b.append(s_ids[1:][same])
+        out_a.append(p[:-1][same])
+        out_b.append(p[1:][same])
         # star: run min (first element, ids sorted) -> elements at
         # run-index >= 2 (index 1's chain edge already reaches the min)
         run_start = np.flatnonzero(new_grp)
+        rf_idx = p[run_start]
         run_first = s_ids[run_start]
         idx_in_run = np.arange(p.size, dtype=np.int64) - run_start[run_id]
         star_sel = idx_in_run >= 2
-        out_a.append(run_first[run_id[star_sel]])
-        out_b.append(s_ids[star_sel])
+        out_a.append(rf_idx[run_id[star_sel]])
+        out_b.append(p[star_sel])
         # rep links: per segment, chain the per-salt run minima
         seg_of_run = s_seg[run_start]
         rep_sorted = np.lexsort((run_first, seg_of_run))
-        rs, rf = seg_of_run[rep_sorted], run_first[rep_sorted]
+        rs, rfi = seg_of_run[rep_sorted], rf_idx[rep_sorted]
         same_seg = rs[1:] == rs[:-1]
-        out_a.append(rf[:-1][same_seg])
-        out_b.append(rf[1:][same_seg])
+        out_a.append(rfi[:-1][same_seg])
+        out_b.append(rfi[1:][same_seg])
 
     if not out_a:
         z = np.empty(0, dtype=np.int64)
         return z, z.copy()
-    a = np.concatenate(out_a)
-    b = np.concatenate(out_b)
-    lo = np.minimum(a, b)
-    hi = np.maximum(a, b)
-    keep = lo != hi
-    return lo[keep], hi[keep]
+    ia = np.concatenate(out_a)
+    ib = np.concatenate(out_b)
+    va, vb = flat[ia], flat[ib]
+    swap = vb < va
+    lo_i = np.where(swap, ib, ia)
+    hi_i = np.where(swap, ia, ib)
+    keep = flat[lo_i] != flat[hi_i]
+    lo_i, hi_i = lo_i[keep], hi_i[keep]
+    if return_indices:
+        return lo_i, hi_i
+    return flat[lo_i], flat[hi_i]
 
 
 def pairs_from_buckets(
@@ -296,6 +310,7 @@ def pairs_from_buckets(
     key_cols: list[str],
     cfg: DedupConfig = DEFAULT_DEDUP,
     keep_multiplicity: bool = False,
+    payload: str | None = None,
 ) -> DataFrame:
     """(key_cols..., doc_id) -> canonical candidate pairs (a < b).
 
@@ -321,25 +336,41 @@ def pairs_from_buckets(
     multiple key columns the bucket identity is their xxhash64 (a 64-bit
     collision merges two buckets into one candidate pool — harmless:
     verification rejects the cross pairs).
+
+    With ``payload`` (a long column of ``bucketed``), each emitted pair
+    also carries that column's values for both members as
+    ``payload_a``/``payload_b`` — e.g. the fingerprint byte offsets the
+    span pass byte-verifies downstream. Zero extra shuffles: the payload
+    rides the one pairing shuffle and is gathered by the same indices as
+    the ids.
     """
-    if len(key_cols) == 1:
-        keyed = bucketed.select(
-            F.col(key_cols[0]).cast("long").alias("_bk"), "doc_id"
-        )
-    else:
-        keyed = bucketed.select(
-            F.xxhash64(*[F.col(c) for c in key_cols]).alias("_bk"), "doc_id"
-        )
+    cols = [F.col(key_cols[0]).cast("long").alias("_bk")] if len(key_cols) == 1 \
+        else [F.xxhash64(*[F.col(c) for c in key_cols]).alias("_bk")]
+    cols.append(F.col("doc_id"))
+    if payload:
+        cols.append(F.col(payload).cast("long").alias("_pl"))
+    keyed = bucketed.select(*cols)
     w = keyed.repartition("_bk").sortWithinPartitions("_bk", "doc_id")
 
     def gen(batches):
         carry_bk = None
         carry_ids = np.empty(0, dtype=np.int64)
+        carry_pl = np.empty(0, dtype=np.int64)
+
+        def emit(ids, pl, sizes):
+            ia, ib = _bucket_pairs_kernel(ids, sizes, cfg, return_indices=True)
+            out = {"a": ids[ia], "b": ids[ib]}
+            if pl is not None:
+                out["payload_a"] = pl[ia]
+                out["payload_b"] = pl[ib]
+            return pd.DataFrame(out)
+
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             bk = pdf["_bk"].to_numpy(dtype=np.int64)
             ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            pl = pdf["_pl"].to_numpy(dtype=np.int64) if payload else None
             # splice the carried (incomplete) group in front; within a
             # bucket, doc order stays ascending across batch boundaries
             # because the partition is sorted by (_bk, doc_id)
@@ -348,22 +379,27 @@ def pairs_from_buckets(
                     [np.full(carry_ids.size, carry_bk, dtype=np.int64), bk]
                 )
                 ids = np.concatenate([carry_ids, ids])
+                if payload:
+                    pl = np.concatenate([carry_pl, pl])
             bounds = np.flatnonzero(bk[1:] != bk[:-1]) + 1
             last_start = int(bounds[-1]) if bounds.size else 0
             # hold back the last group — it may continue in the next batch
             carry_bk = int(bk[-1])
             carry_ids = ids[last_start:].copy()
+            if payload:
+                carry_pl = pl[last_start:].copy()
             if last_start:
                 sizes = np.diff(np.concatenate(([0], bounds)))
-                a, b = _bucket_pairs_kernel(ids[:last_start], sizes, cfg)
-                yield pd.DataFrame({"a": a, "b": b})
+                yield emit(ids[:last_start],
+                           pl[:last_start] if payload else None, sizes)
         if carry_ids.size:
-            a, b = _bucket_pairs_kernel(
-                carry_ids, np.array([carry_ids.size], dtype=np.int64), cfg
-            )
-            yield pd.DataFrame({"a": a, "b": b})
+            yield emit(carry_ids, carry_pl if payload else None,
+                       np.array([carry_ids.size], dtype=np.int64))
 
-    pairs = w.mapInPandas(gen, schema="a long, b long")
+    schema = "a long, b long"
+    if payload:
+        schema += ", payload_a long, payload_b long"
+    pairs = w.mapInPandas(gen, schema=schema)
     if keep_multiplicity:
         # one row per (bucket, pair) — callers count co-occurrences
         return pairs
@@ -503,11 +539,18 @@ def winnow_span_pairs(
     suppresses chance collisions. Only docs >= span_min_len enter (the
     cost-based routing precedent of one_shot/mod.rs:20-25).
 
-    With ``confirm`` (default), each candidate pair is byte-verified: the
-    pair's texts are rejoined and an actual common ``span_shingle_k``-gram
-    is located and compared byte-for-byte, closing the fingerprint-
-    collision loophole — output gains a ``span_confirmed`` column. This
-    runs only on the (small) candidate-pair table, not the corpus.
+    With ``confirm`` (default), each candidate pair is byte-verified: one
+    shared fingerprint's ``span_shingle_k``-gram is compared
+    byte-for-byte, closing the fingerprint-collision loophole — output
+    gains a ``span_confirmed`` column. The winnow kernel emits each
+    fingerprint's byte OFFSET, the pairing shuffle carries the offsets as
+    payload, and the compare is a pure JVM ``substring(encode(text))``
+    equality after broadcast-joining the (small) pair table against the
+    corpus — no text shuffle, no re-shingling (replaced a Pandas-UDF
+    confirm that re-hashed every hot doc per batch, ~420 core-s at 400k
+    docs). A false negative needs a 64-bit rolling-hash collision between
+    the two chosen grams (~2^-64) AND another genuinely shared gram — the
+    same failure mode the old up-to-4-candidate intersect had.
 
     Span pairs are a standalone deliverable ("these documents share a
     long exact span") and are deliberately NOT fed into near-dup
@@ -525,68 +568,53 @@ def winnow_span_pairs(
             texts = [t.encode("utf-8") for t in pdf["_t"].tolist()]
             buf, starts = concat_docs(texts, min_len=k)
             sh, sst = char_shingle_hashes(buf, starts, k)
-            fp, fst = winnow_fingerprints(sh, sst, window=win)
+            fp, pos, fst = winnow_fingerprints(sh, sst, window=win)
             counts = np.diff(fst)
             ids = pdf["doc_id"].to_numpy(dtype=np.int64)
             yield pd.DataFrame(
-                {"doc_id": np.repeat(ids, counts), "fp": fp.view(np.int64)}
+                {"doc_id": np.repeat(ids, counts), "fp": fp.view(np.int64),
+                 "pos": pos}
             )
 
     # persist: pairs_from_buckets scans its input from several plan
     # branches — without this the winnowing UDF re-executes per branch
-    fps = work.mapInPandas(run, schema="doc_id long, fp long").persist()
-    # a pair co-occurring in m fingerprint buckets shares >= m fingerprints
+    fps = work.mapInPandas(run, schema="doc_id long, fp long, pos long").persist()
+    # a pair co-occurring in m fingerprint buckets shares >= m
+    # fingerprints; min(struct) keeps ONE coherent witness offset pair
+    # (both offsets from the same fingerprint row) for the byte check
     pairs = (
-        pairs_from_buckets(fps.select("fp", "doc_id"), ["fp"], cfg, keep_multiplicity=True)
-        .groupBy("a", "b").agg(F.count("*").alias("shared_fps"))
+        pairs_from_buckets(fps.select("fp", "doc_id", "pos"), ["fp"], cfg,
+                           keep_multiplicity=True, payload="pos")
+        .groupBy("a", "b")
+        .agg(
+            F.count("*").alias("shared_fps"),
+            F.min(F.struct("payload_a", "payload_b")).alias("_w"),
+        )
         .filter(F.col("shared_fps") >= cfg.span_min_shared)
     )
     if not confirm:
-        return pairs
+        return pairs.select("a", "b", "shared_fps")
 
-    d = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t"))
-    joined = (
-        pairs.join(d.withColumnsRenamed({"doc_id": "a", "_t": "_ta"}), "a")
-        .join(d.withColumnsRenamed({"doc_id": "b", "_t": "_tb"}), "b")
+    # byte-verify the witness gram JVM-side: substring on the utf-8 BYTES
+    # (offsets are byte offsets), pair table broadcast against the corpus
+    d = docs.select(F.col(id_col).alias("doc_id"),
+                    F.encode(F.col(text_col), "utf-8").alias("_t"))
+    wit = pairs.select(
+        "a", "b", "shared_fps",
+        (F.col("_w.payload_a") + 1).alias("_pa"),
+        (F.col("_w.payload_b") + 1).alias("_pb"),
     )
-
-    def run_confirm(batches):
-        for pdf in batches:
-            conf = np.zeros(len(pdf), dtype=bool)
-            # hash each doc once per batch (keyed by doc id) — docs in
-            # many span pairs (boilerplate hubs) would otherwise be
-            # re-shingled per pair, and the per-pair work drops to one
-            # sorted intersect
-            cache: dict[int, tuple[bytes, np.ndarray, np.ndarray]] = {}
-
-            def hashes_of(doc_id: int, t: str):
-                got = cache.get(doc_id)
-                if got is None:
-                    bt = t.encode("utf-8")
-                    h, _ = char_shingle_hashes(*concat_docs([bt], min_len=k), k)
-                    order = np.argsort(h, kind="stable")
-                    got = (bt, h[order], order)
-                    cache[doc_id] = got
-                return got
-
-            ids_a = pdf["a"].tolist()
-            ids_b = pdf["b"].tolist()
-            for i, (ta, tb) in enumerate(zip(pdf["_ta"], pdf["_tb"])):
-                ba, ha, oa = hashes_of(ids_a[i], ta)
-                bb, hb, ob = hashes_of(ids_b[i], tb)
-                common, ia, ib = np.intersect1d(ha, hb, return_indices=True)
-                for ci in range(min(common.size, 4)):
-                    pa, pb = int(oa[ia[ci]]), int(ob[ib[ci]])
-                    if ba[pa : pa + k] == bb[pb : pb + k]:
-                        conf[i] = True
-                        break
-            out = pdf[["a", "b", "shared_fps"]].copy()
-            out["span_confirmed"] = conf
-            yield out
-
-    return joined.mapInPandas(
-        run_confirm,
-        schema="a long, b long, shared_fps long, span_confirmed boolean",
+    return (
+        wit.join(d.withColumnsRenamed({"doc_id": "a", "_t": "_ta"}), "a")
+        .withColumn("_ga", F.col("_ta").substr(F.col("_pa"), F.lit(k)))
+        .drop("_ta", "_pa")
+        .join(d.withColumnsRenamed({"doc_id": "b", "_t": "_tb"}), "b")
+        .withColumn("_gb", F.col("_tb").substr(F.col("_pb"), F.lit(k)))
+        .drop("_tb", "_pb")
+        .select(
+            "a", "b", "shared_fps",
+            (F.col("_ga") == F.col("_gb")).alias("span_confirmed"),
+        )
     )
 
 

@@ -87,14 +87,12 @@ class PipelineConfig:
     enable_span: bool = True
     check_extraction: bool = True   # assert extracted_text == text per url
     check_id_collisions: bool = True
-    doc_partitions: int | None = None   # repartition docs at the stage
-                                        # boundary; default is sized by
-                                        # input volume (see _doc_partitions)
+    doc_partitions: int | None = None   # force a doc_id hash layout on the
+                                        # documents checkpoint; default is
+                                        # no shuffle (scan-split order) —
+                                        # see the comment in s_documents
     pair_partitions: int | None = None  # repartition before verify
     checkpoint_stages: tuple = DEFAULT_CHECKPOINTS
-    target_bytes_per_task: int = 24 * 1024 * 1024  # volume heuristic for
-    # stage-boundary repartitions — the per-thread work sizing of the
-    # reference (parallel/mod.rs:131-143) expressed in bytes, not rows
 
 
 class CheckpointStore:
@@ -134,17 +132,6 @@ class CheckpointStore:
             fp = os.path.join(d, f)
             out.append((i, pq.read_metadata(fp).num_rows, os.path.getsize(fp)))
         return out
-
-
-def _dir_bytes(path: str) -> int:
-    total = 0
-    for root, _, files in os.walk(path):
-        for f in files:
-            try:
-                total += os.path.getsize(os.path.join(root, f))
-            except OSError:
-                pass
-    return total
 
 
 class NearDupPipeline:
@@ -213,19 +200,18 @@ class NearDupPipeline:
         t0 = time.monotonic()
         resumed = self.cfg.resume and self.store.is_complete(name)
         if not resumed:
-            self.store.write(name, compute())
+            # job description is a thread-local Spark property, so the
+            # concurrent span/check branches label their own jobs — event
+            # logs then attribute every job to its pipeline stage
+            sc = self.spark.sparkContext
+            sc.setJobDescription(f"frizbee:{name}")
+            try:
+                self.store.write(name, compute())
+            finally:
+                sc.setJobDescription(None)
         out = self.store.read(self.spark, name)
         self._record_checkpointed(name, (time.monotonic() - t0) * 1e3, resumed)
         return out
-
-    def _doc_partitions(self, input_path: str | None) -> int:
-        if self.cfg.doc_partitions:
-            return self.cfg.doc_partitions
-        base = max(self.spark.sparkContext.defaultParallelism * 2, 8)
-        if input_path and os.path.isdir(input_path):
-            vol = _dir_bytes(input_path)
-            return max(base, -(-vol // self.cfg.target_bytes_per_task))
-        return base
 
     # -- stages -------------------------------------------------------------
 
@@ -265,11 +251,21 @@ class NearDupPipeline:
             keep = [c for c in ("url", "warc_ts", "text", "norm_text", "lang",
                                 "_extract_ok") if c in work.columns]
             out_df = work.select("doc_id", *keep)
-            # explicit stage-boundary repartition: deterministic hash
-            # distribution on doc_id, sized by input volume (reference
-            # B5 heuristic, parallel/mod.rs:131-143) so each downstream
-            # Arrow task gets a full batch of work
-            return out_df.repartition(self._doc_partitions(input_path), "doc_id")
+            # NO stage-boundary repartition by default: extract/normalize
+            # is map-only, so writing in scan-split order avoids shuffling
+            # the full corpus text (the single largest byte stream in the
+            # pipeline — removing it cut ~0.5 GB of shuffle at 400k docs).
+            # Task sizing comes from spark.sql.files.maxPartitionBytes on
+            # both this scan and every downstream read-back (the reference
+            # B5 per-thread volume heuristic, parallel/mod.rs:131-143,
+            # expressed as split bytes); nothing downstream needs doc_id
+            # hash distribution (candidates re-shuffle on bucket keys,
+            # verify re-shuffles on pair keys). An explicit
+            # cfg.doc_partitions still forces a layout when a deployment
+            # wants checkpoint files bucketed by doc_id.
+            if self.cfg.doc_partitions:
+                out_df = out_df.repartition(self.cfg.doc_partitions, "doc_id")
+            return out_df
 
         documents = self._stage("documents", s_documents)
         # invariant checks run on the checkpointed (parallel) table — one
@@ -292,7 +288,12 @@ class NearDupPipeline:
                 )
             agg_df = documents.agg(*aggs)
             check_pool = concurrent.futures.ThreadPoolExecutor(1)
-            check_future = check_pool.submit(lambda: agg_df.collect()[0])
+
+            def _run_check():
+                self.spark.sparkContext.setJobDescription("frizbee:invariant_check")
+                return agg_df.collect()[0]
+
+            check_future = check_pool.submit(_run_check)
         if has_extract_col:
             documents = documents.drop("_extract_ok")
         if "norm_text" not in documents.columns:

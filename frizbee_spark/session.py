@@ -55,6 +55,14 @@ def get_spark(app_name: str = "frizbee-spark", cores: int | None = None, extra: 
     )
     if local_dir:
         builder = builder.config("spark.local.dir", local_dir)
+    if os.environ.get("SPARK_GRAFT_EVENTLOG"):
+        ev_dir = os.environ.get("SPARK_GRAFT_EVENTLOG_DIR", "/tmp/spark-events")
+        os.makedirs(ev_dir, exist_ok=True)
+        builder = (
+            builder.config("spark.eventLog.enabled", "true")
+            .config("spark.eventLog.dir", ev_dir)
+            .config("spark.eventLog.compress", "true")
+        )
     for k, v in (extra or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -129,7 +129,7 @@ class TestWinnowing:
         c = mk() + mk()
         k, w = 48, 64
         sh, sst = _shingles_of([a, b, c], k)
-        fp, fst = H.winnow_fingerprints(sh, sst, window=w)
+        fp, pos, fst = H.winnow_fingerprints(sh, sst, window=w)
         fa = set(fp[fst[0] : fst[1]].tolist())
         fb = set(fp[fst[1] : fst[2]].tolist())
         fc = set(fp[fst[2] : fst[3]].tolist())
@@ -141,7 +141,7 @@ class TestWinnowing:
         rng = np.random.default_rng(9)
         t = bytes(rng.integers(97, 123, size=20000, dtype=np.uint8).tolist())
         sh, sst = _shingles_of([t], 12)
-        fp, fst = H.winnow_fingerprints(sh, sst, window=64)
+        fp, pos, fst = H.winnow_fingerprints(sh, sst, window=64)
         assert fp.size < sh.size * 0.08
 
 
