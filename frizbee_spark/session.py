@@ -55,6 +55,10 @@ def get_spark(app_name: str = "frizbee-spark", cores: int | None = None, extra: 
     )
     if local_dir:
         builder = builder.config("spark.local.dir", local_dir)
+    # ad-hoc conf overrides for experiments: "k=v;k=v"
+    for kv in filter(None, os.environ.get("SPARK_GRAFT_CONF", "").split(";")):
+        k, _, v = kv.partition("=")
+        builder = builder.config(k.strip(), v.strip())
     if os.environ.get("SPARK_GRAFT_EVENTLOG"):
         ev_dir = os.environ.get("SPARK_GRAFT_EVENTLOG_DIR", "/tmp/spark-events")
         os.makedirs(ev_dir, exist_ok=True)
