@@ -159,6 +159,9 @@ def compute_signatures(
     128 longs/doc dominates the stage's parquet encode/IO while no
     downstream consumer reads it (the bands are the LSH interface).
     """
+    from ..util import widen_if_narrow
+
+    df = widen_if_narrow(df)
     work = df.select(
         F.col(id_col).alias("doc_id"),
         F.col(text_col).alias("_t"),

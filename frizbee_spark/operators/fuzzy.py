@@ -463,6 +463,11 @@ def fuzzy_match(
         min_len = max(0, len(needle.encode()) - cfg.max_typos)
         if min_len > 0:
             work = work.filter(F.length(F.col(text_col)) >= min_len)
+    # widen AFTER the filter so the length predicate still pushes into the
+    # scan; a one-file input otherwise runs the whole DP on one core
+    from ..util import widen_if_narrow
+
+    work = widen_if_narrow(work)
 
     out_fields = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in work.schema.fields if f.name != text_col

@@ -160,6 +160,77 @@ def ann_topk(
     )
 
 
+def blocked_all_pairs_cosine(
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_size: int = 4096,
+) -> DataFrame:
+    """Exact all-pairs cosine >= threshold via a blocked Gram matrix.
+
+    Vectors are hashed into ceil(N/B) blocks; every block pair (bi <= bj)
+    becomes one grid row carrying both blocks' packed vectors, and one
+    Arrow task computes the (B x B) cosine block with a single BLAS
+    matmul — no per-pair Catalyst expression, no candidate dedup shuffle.
+    Cost is the exact O(N^2 d) flops (BLAS-rate, the cheap part) and
+    O(N^2 / B) shuffled vector copies (each block replicated once per
+    partner block). This is the right plan whenever the accept threshold
+    is loose enough that an LSH prefilter would emit ~all pairs anyway —
+    see the routing rule in :func:`embedding_near_dup_pairs`.
+
+    Rounding matches the Catalyst path: HALF_UP to 4 decimals before the
+    threshold compare (kept cosines are positive).
+    """
+    n = embeddings.count()
+    n_blk = max(1, -(-n // block_size))
+    base = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blk)).cast("int").alias("blk"),
+    )
+    packed = base.groupBy("blk").agg(
+        F.collect_list(F.struct("vec_id", "vec")).alias("rows")
+    )
+    grid = (
+        packed.select(F.col("blk").alias("bi"), F.col("rows").alias("xr"))
+        .join(packed.select(F.col("blk").alias("bj"), F.col("rows").alias("yr")),
+              F.col("bi") <= F.col("bj"))
+        .repartition(max(n_blk * (n_blk + 1) // 2, 1))
+    )
+
+    def unpack(rows):
+        ids = np.fromiter((r["vec_id"] for r in rows), dtype=np.int64,
+                          count=len(rows))
+        M = np.asarray([np.asarray(r["vec"], dtype=np.float64) for r in rows])
+        nrm = np.linalg.norm(M, axis=1)
+        nrm[nrm == 0.0] = 1.0
+        return ids, M / nrm[:, None]
+
+    def run(batches):
+        for pdf in batches:
+            for bi, bj, xr, yr in zip(pdf["bi"], pdf["bj"], pdf["xr"], pdf["yr"]):
+                ix, X = unpack(xr)
+                if bi == bj:
+                    iy, Y = ix, X
+                else:
+                    iy, Y = unpack(yr)
+                C = X @ Y.T
+                # HALF_UP to 4 decimals (kept values are all > 0)
+                C = np.floor(C * 1e4 + 0.5) / 1e4
+                ai, bi_ = np.nonzero(C >= threshold)
+                if bi == bj:
+                    keep = ix[ai] < iy[bi_]
+                else:
+                    keep = ix[ai] != iy[bi_]
+                ai, bi_ = ai[keep], bi_[keep]
+                a, b = ix[ai], iy[bi_]
+                lo, hi = np.minimum(a, b), np.maximum(a, b)
+                yield pd.DataFrame({"a": lo, "b": hi, "cosine": C[ai, bi_]})
+
+    return grid.mapInPandas(run, schema="a long, b long, cosine double")
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,
@@ -173,6 +244,18 @@ def embedding_near_dup_pairs(
     candidates = same (table, bucket), verified by exact cosine >= t.
     The embedding-space twin of the MinHash-LSH text path.
 
+    Cost routing: the fraction of CHANCE (near-orthogonal) pairs a
+    sign-LSH table union passes is ~ n_tables / 2**n_planes (each table
+    collides a random pair with prob 2**-n_planes). When that exceeds 5%
+    the "prefilter" emits a sizable multiple of all-pairs rows post-union
+    (measured: planes=4/tables=32 emitted 4.2M candidates for 2k vectors
+    = 2.1x all-pairs) — so such configurations route to the exact
+    :func:`blocked_all_pairs_cosine` Gram scan, which does the same
+    verification with one BLAS matmul per block pair and no candidate
+    shuffle. Loose thresholds need dense configurations for recall, so
+    this boundary is in practice "tight threshold -> LSH, loose ->
+    blocked exact".
+
     ``max_bucket`` caps the quadratic self-join per (table, bucket):
     buckets above the cap are skipped (a hot bucket of m vectors emits
     C(m, 2) rows — the same task-killer the text path salts away). A
@@ -180,6 +263,10 @@ def embedding_near_dup_pairs(
     surface; if buckets routinely exceed the cap, raise ``n_planes``
     instead of the cap.
     """
+    if n_tables >= 0.05 * (1 << n_planes):
+        return blocked_all_pairs_cosine(
+            embeddings, threshold, id_col=id_col, vec_col=vec_col
+        )
     dim = len(embeddings.select(vec_col).limit(1).collect()[0][0])
     buckets = lsh_bucket_ids(embeddings, dim, n_planes, n_tables, id_col, vec_col)
     sizes = buckets.groupBy("table_id", "bucket").agg(F.count("*").alias("_bsz"))

@@ -152,6 +152,9 @@ def shingle_jaccard_pairs(
     kept together only by boilerplate is (correctly) underestimated. The
     SQL oracle applies the identical cap.
     """
+    from ..util import widen_if_narrow
+
+    df = widen_if_narrow(df)
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     shingles = F.array_distinct(
         F.transform(

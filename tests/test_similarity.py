@@ -91,3 +91,42 @@ class TestNearDupPairs:
         found = {(r["a"], r["b"]) for r in got}
         want = {(i, 50 + i) for i in range(10)}
         assert len(want & found) >= 9  # >= 90% of planted dups
+
+    def test_blocked_exact_matches_catalyst_path(self, spark):
+        # multi-block Gram scan == per-pair Catalyst cosine, incl. rounding
+        from frizbee_spark.operators.similarity import (
+            _cosine_expr, blocked_all_pairs_cosine)
+        from pyspark.sql import functions as F
+
+        rng = np.random.default_rng(23)
+        vecs = rng.normal(size=(120, 16))
+        rows = [(i * 7 + 3, [float(x) for x in v]) for i, v in enumerate(vecs)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        got = sorted(
+            (r["a"], r["b"], r["cosine"])
+            for r in blocked_all_pairs_cosine(df, 0.3, block_size=32).collect()
+        )
+        base = df.select(F.col("vec_id"), F.col("embedding").alias("vec"))
+        exp = sorted(
+            (r["a"], r["b"], r["cosine"])
+            for r in base.alias("x").join(
+                base.alias("y"), F.col("x.vec_id") < F.col("y.vec_id"))
+            .select(F.col("x.vec_id").alias("a"), F.col("y.vec_id").alias("b"),
+                    F.round(_cosine_expr("x.vec", "y.vec"), 4).alias("cosine"))
+            .filter(F.col("cosine") >= 0.3).collect()
+        )
+        assert len(got) > 0
+        assert [(a, b) for a, b, _ in got] == [(a, b) for a, b, _ in exp]
+        assert all(abs(c1 - c2) < 1e-9 for (_, _, c1), (_, _, c2) in zip(got, exp))
+
+    def test_dense_lsh_config_routes_to_blocked(self, spark):
+        # planes=4/tables=32 passes ~2x all-pairs through the bucket union
+        # -> must plan the exact Gram scan (no bucket join in the plan)
+        rng = np.random.default_rng(5)
+        rows = [(i, [float(x) for x in v])
+                for i, v in enumerate(rng.normal(size=(40, 8)))]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        plan = embedding_near_dup_pairs(
+            df, threshold=0.4, n_planes=4, n_tables=32
+        )._jdf.queryExecution().optimizedPlan().toString()
+        assert "dropDuplicates" not in plan and "table_id" not in plan
