@@ -160,6 +160,136 @@ def ann_topk(
     )
 
 
+def _spherical_kmeans(X: np.ndarray, n_centroids: int, n_iters: int = 8) -> np.ndarray:
+    """Deterministic spherical k-means (Lloyd on the unit sphere) for the
+    IVF coarse quantizer. Init picks the sample rows with the smallest
+    splitmix64(row index) — seedless-deterministic, identical everywhere.
+    Empty clusters keep their previous centroid."""
+    n = len(X)
+    k = min(n_centroids, n)
+    order = np.argsort(splitmix64(np.arange(n, dtype=np.uint64)), kind="stable")
+    C = X[order[:k]].copy()
+    for _ in range(n_iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        C_new = np.zeros_like(C)
+        np.add.at(C_new, assign, X)
+        nrm = np.linalg.norm(C_new, axis=1)
+        empty = nrm == 0.0
+        C_new[empty] = C[empty]
+        nrm[empty] = 1.0
+        C = C_new / nrm[:, None]
+    return C
+
+
+def ivf_train_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 64,
+    sample_size: int = 16384,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Train the IVF coarse quantizer on a deterministic hash-sample.
+
+    Coarse quantizers are trained on a sample by design (a few 10^4
+    vectors bound centroid error regardless of N), so the driver-side
+    collect here is O(sample), never O(N). The sample is the rows with
+    the smallest xxhash64(id) — deterministic, order-independent, and
+    computed with one TakeOrdered job (no full sort)."""
+    rows = (
+        embeddings.select(F.col(id_col).alias("_i"), F.col(vec_col).alias("_v"))
+        .orderBy(F.xxhash64(F.col("_i")))
+        .limit(sample_size)
+        .collect()
+    )
+    X = np.asarray([np.asarray(r["_v"], dtype=np.float64) for r in rows])
+    nrm = np.linalg.norm(X, axis=1)
+    nrm[nrm == 0.0] = 1.0
+    return _spherical_kmeans(X / nrm[:, None], n_centroids)
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, list_id): nearest-centroid assignment, one vectorized
+    matmul per Arrow batch against the broadcast centroid matrix."""
+    C = np.ascontiguousarray(centroids)
+    work = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+
+    def run(batches):
+        for pdf in batches:
+            M = np.array(pdf["vec"].tolist(), dtype=np.float64)
+            nrm = np.linalg.norm(M, axis=1)
+            nrm[nrm == 0.0] = 1.0
+            a = np.argmax((M / nrm[:, None]) @ C.T, axis=1)
+            yield pd.DataFrame({"vec_id": pdf["vec_id"].to_numpy(),
+                                "list_id": a.astype(np.int32)})
+
+    return work.mapInPandas(run, schema="vec_id long, list_id int")
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_centroids: int = 64,
+    nprobe: int = 8,
+    sample_size: int = 16384,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: spherical-k-means coarse quantizer, probe
+    the ``nprobe`` inverted lists nearest each query, exact cosine on the
+    probed candidates only — the second ANN scale path beside the
+    sign-LSH :func:`ann_topk` (IVF wins when the data is clustered; LSH
+    when it is not, since LSH needs no training pass).
+
+    Scale shape: candidates per query ~= N * nprobe / n_centroids; the
+    probe is one equi-join on list_id against a broadcast (query_id,
+    list_id) probe table — no N x N anything. Deterministic end to end
+    (hash-sample training + seedless init), so results are reproducible
+    across runs and cluster layouts.
+    """
+    cents = ivf_train_centroids(embeddings, n_centroids, sample_size, id_col, vec_col)
+    lists = ivf_assign(embeddings, cents, id_col, vec_col)
+    base = embeddings.select(F.col(id_col).alias("vec_id"),
+                             F.col(vec_col).cast("array<double>").alias("vec"))
+    qrows = base.filter(F.col("vec_id").isin(query_ids)).collect()
+    Q = np.asarray([np.asarray(r["vec"], dtype=np.float64) for r in qrows])
+    qn = np.linalg.norm(Q, axis=1)
+    qn[qn == 0.0] = 1.0
+    probes = np.argsort(-((Q / qn[:, None]) @ cents.T), axis=1)[:, :nprobe]
+    probe_rows = [
+        (int(r["vec_id"]), int(l))
+        for r, ls in zip(qrows, probes) for l in ls
+    ]
+    probe_df = embeddings.sparkSession.createDataFrame(
+        probe_rows, "query_id long, list_id int"
+    )
+    cands = (
+        lists.join(F.broadcast(probe_df), "list_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+    )
+    queries = base.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    scored = (
+        cands.join(base, "vec_id")
+        .join(F.broadcast(queries), "query_id")
+        .select("query_id", "vec_id",
+                F.round(_cosine_expr("qvec", "vec"), 4).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cosine")
+    )
+
+
 def blocked_all_pairs_cosine(
     embeddings: DataFrame,
     threshold: float,

@@ -130,3 +130,49 @@ class TestNearDupPairs:
             df, threshold=0.4, n_planes=4, n_tables=32
         )._jdf.queryExecution().optimizedPlan().toString()
         assert "dropDuplicates" not in plan and "table_id" not in plan
+
+
+@pytest.mark.spark
+class TestIVF:
+    def _clustered(self, spark, n_blobs=8, per_blob=40, dim=24):
+        rng = np.random.default_rng(31)
+        centers = rng.normal(size=(n_blobs, dim)) * 4
+        vecs = np.vstack([
+            centers[b] + rng.normal(size=(per_blob, dim))
+            for b in range(n_blobs)
+        ])
+        rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def test_recall_vs_brute_force_on_clustered_data(self, spark):
+        from frizbee_spark.operators.similarity import brute_force_topk, ivf_topk
+
+        df = self._clustered(spark)
+        qids = [0, 45, 123, 200, 280]
+        exact = brute_force_topk(df, qids, k=10).collect()
+        got = ivf_topk(df, qids, k=10, n_centroids=8, nprobe=3,
+                       sample_size=1000).collect()
+        want = {(r["query_id"], r["neighbor_id"]) for r in exact}
+        found = {(r["query_id"], r["neighbor_id"]) for r in got}
+        assert len(want & found) / len(want) >= 0.9
+
+    def test_deterministic_across_runs(self, spark):
+        from frizbee_spark.operators.similarity import ivf_topk
+
+        df = self._clustered(spark, n_blobs=4, per_blob=25)
+        a = sorted(map(tuple, ivf_topk(df, [3, 77], k=5, n_centroids=4,
+                                       nprobe=2).collect()))
+        b = sorted(map(tuple, ivf_topk(df, [3, 77], k=5, n_centroids=4,
+                                       nprobe=2).collect()))
+        assert a == b and len(a) == 10
+
+    def test_candidates_bounded_by_probe_fraction(self, spark):
+        # with nprobe=1 of 8 lists, each query scans ~1/8 of the table
+        from frizbee_spark.operators.similarity import (
+            ivf_assign, ivf_train_centroids)
+
+        df = self._clustered(spark)
+        cents = ivf_train_centroids(df, n_centroids=8, sample_size=1000)
+        sizes = ivf_assign(df, cents).groupBy("list_id").count().collect()
+        assert len(sizes) >= 6  # clusters actually spread across lists
+        assert max(r["count"] for r in sizes) < 320  # no single mega-list
