@@ -113,6 +113,69 @@ def verify_increment(
                         signatures=all_sigs).filter("verified").select("a", "b")
 
 
+def _read_state(s, path: str, exclude_batch: int):
+    """Union of all committed (``_SUCCESS``-marked) per-batch state
+    partitions EXCEPT ``exclude_batch`` — a replayed batch must never see
+    its own half-written first attempt."""
+    import os
+
+    if not os.path.isdir(path):
+        return None
+    subs = [
+        d for d in os.listdir(path)
+        if d.startswith("batch_id=")
+        and os.path.exists(os.path.join(path, d, "_SUCCESS"))
+        and int(d.split("=", 1)[1]) != exclude_batch
+    ]
+    if not subs:
+        return None
+    return s.read.parquet(*[os.path.join(path, d) for d in subs])
+
+
+def make_batch_processor(spark, state_dir: str, cfg: DedupConfig = DEFAULT_DEDUP):
+    """Build the ``foreachBatch`` callback for :func:`dedup_stream`.
+
+    Module-level so the replay-idempotency contract is directly testable:
+    calling the processor twice with the same ``batch_id`` (foreachBatch
+    is at-least-once) must leave state identical to calling it once —
+    every write is an overwrite of a per-batch subdirectory keyed by the
+    stable batch_id, and prior-state reads exclude the current batch.
+    """
+    import os
+
+    from ..operators.dedup import normalize_text, with_doc_id
+
+    sig_path = os.path.join(state_dir, "signatures")
+    docs_path = os.path.join(state_dir, "docs")
+    edges_path = os.path.join(state_dir, "edges")
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        s = spark
+        new_docs = with_doc_id(normalize_text(batch_df, "text"), "url").select(
+            "doc_id", "url", "norm_text"
+        )
+        existing = _read_state(s, sig_path, batch_id)
+        new_sigs, cand, all_sigs = incremental_dedup_batch(new_docs, existing, cfg)
+
+        old_docs = _read_state(s, docs_path, batch_id)
+        lookup = new_docs.select("doc_id", "norm_text")
+        if old_docs is not None:
+            lookup = lookup.unionByName(old_docs.select("doc_id", "norm_text"))
+        edges = verify_increment(cand, lookup, all_sigs, cfg)
+
+        # idempotent per-batch overwrites (replay-safe, see docstring)
+        sub = f"batch_id={batch_id}"
+        edges.write.mode("overwrite").parquet(os.path.join(edges_path, sub))
+        new_sigs.write.mode("overwrite").parquet(os.path.join(sig_path, sub))
+        new_docs.select("doc_id", "norm_text").write.mode("overwrite").parquet(
+            os.path.join(docs_path, sub)
+        )
+
+    return process_batch
+
+
 def dedup_stream(
     spark,
     input_path: str,
@@ -140,51 +203,10 @@ def dedup_stream(
     """
     import os
 
-    from ..operators.dedup import normalize_text, with_doc_id
-
     schema = "url string, warc_ts timestamp, html binary, text string, lang string"
     stream = spark.readStream.schema(schema).parquet(input_path)
 
-    sig_path = os.path.join(state_dir, "signatures")
-    docs_path = os.path.join(state_dir, "docs")
-    edges_path = os.path.join(state_dir, "edges")
-
-    def _read_state(s, path: str, exclude_batch: int):
-        if not os.path.isdir(path):
-            return None
-        subs = [
-            d for d in os.listdir(path)
-            if d.startswith("batch_id=")
-            and os.path.exists(os.path.join(path, d, "_SUCCESS"))
-            and int(d.split("=", 1)[1]) != exclude_batch
-        ]
-        if not subs:
-            return None
-        return s.read.parquet(*[os.path.join(path, d) for d in subs])
-
-    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        s = spark
-        new_docs = with_doc_id(normalize_text(batch_df, "text"), "url").select(
-            "doc_id", "url", "norm_text"
-        )
-        existing = _read_state(s, sig_path, batch_id)
-        new_sigs, cand, all_sigs = incremental_dedup_batch(new_docs, existing, cfg)
-
-        old_docs = _read_state(s, docs_path, batch_id)
-        lookup = new_docs.select("doc_id", "norm_text")
-        if old_docs is not None:
-            lookup = lookup.unionByName(old_docs.select("doc_id", "norm_text"))
-        edges = verify_increment(cand, lookup, all_sigs, cfg)
-
-        # idempotent per-batch overwrites (replay-safe, see docstring)
-        sub = f"batch_id={batch_id}"
-        edges.write.mode("overwrite").parquet(os.path.join(edges_path, sub))
-        new_sigs.write.mode("overwrite").parquet(os.path.join(sig_path, sub))
-        new_docs.select("doc_id", "norm_text").write.mode("overwrite").parquet(
-            os.path.join(docs_path, sub)
-        )
+    process_batch = make_batch_processor(spark, state_dir, cfg)
 
     q = (
         stream.writeStream.foreachBatch(process_batch)

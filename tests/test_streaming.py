@@ -84,3 +84,59 @@ class TestStream:
              .join(ids.select("doc_id"), "doc_id").select("url", "doc_id")
              .collect()} if "url" in ids.columns else None
         assert edges.count() >= 1
+
+    def test_batch_replay_is_idempotent(self, spark, tmp_path):
+        # foreachBatch is at-least-once: replaying a batch_id (same or
+        # different content order) must overwrite, never append
+        from frizbee_spark.streaming.incremental import make_batch_processor
+
+        import datetime
+
+        ts = datetime.datetime(2025, 1, 1)
+        state = str(tmp_path / "state")
+        proc = make_batch_processor(spark, state)
+        b0 = spark.createDataFrame(
+            [("u1", ts, None, TEXT_A, "en"), ("u2", ts, None, TEXT_A, "en")],
+            "url string, warc_ts timestamp, html binary, text string, lang string",
+        )
+        b1 = spark.createDataFrame(
+            [("u3", ts, None, TEXT_B, "en")],
+            "url string, warc_ts timestamp, html binary, text string, lang string",
+        )
+        proc(b0, 0)
+        proc(b1, 1)
+
+        def counts():
+            return tuple(
+                spark.read.parquet(os.path.join(state, t)).count()
+                for t in ("docs", "signatures", "edges")
+            )
+
+        once = counts()
+        proc(b0, 0)  # crash-replay of batch 0 after batch 1 committed
+        proc(b1, 1)  # and of batch 1
+        assert counts() == once
+        edges = {(r["a"], r["b"]) for r in
+                 spark.read.parquet(os.path.join(state, "edges")).collect()}
+        assert len(edges) == 1  # u1-u2 exact pair, exactly once
+
+    def test_replay_ignores_own_half_written_state(self, spark, tmp_path):
+        # a replay must not read its own first attempt's partial output
+        from frizbee_spark.streaming.incremental import make_batch_processor
+
+        import datetime
+
+        ts = datetime.datetime(2025, 1, 1)
+        state = str(tmp_path / "state")
+        proc = make_batch_processor(spark, state)
+        b0 = spark.createDataFrame(
+            [("u1", ts, None, TEXT_A, "en")],
+            "url string, warc_ts timestamp, html binary, text string, lang string",
+        )
+        proc(b0, 0)
+        # simulate the crash: batch 0's signature dir exists but is
+        # uncommitted (no _SUCCESS) when batch 0 re-runs
+        os.remove(os.path.join(state, "signatures", "batch_id=0", "_SUCCESS"))
+        proc(b0, 0)
+        sigs = spark.read.parquet(os.path.join(state, "signatures"))
+        assert sigs.count() == 1  # one doc, one signature row, no dupes
