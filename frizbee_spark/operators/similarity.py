@@ -201,6 +201,8 @@ def ivf_train_centroids(
         .limit(sample_size)
         .collect()
     )
+    if not rows:
+        raise ValueError("ivf_train_centroids: embeddings table is empty")
     X = np.asarray([np.asarray(r["_v"], dtype=np.float64) for r in rows])
     nrm = np.linalg.norm(X, axis=1)
     nrm[nrm == 0.0] = 1.0
@@ -252,11 +254,16 @@ def ivf_topk(
     (hash-sample training + seedless init), so results are reproducible
     across runs and cluster layouts.
     """
-    cents = ivf_train_centroids(embeddings, n_centroids, sample_size, id_col, vec_col)
-    lists = ivf_assign(embeddings, cents, id_col, vec_col)
+    spark = embeddings.sparkSession
     base = embeddings.select(F.col(id_col).alias("vec_id"),
                              F.col(vec_col).cast("array<double>").alias("vec"))
     qrows = base.filter(F.col("vec_id").isin(query_ids)).collect()
+    if not qrows:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double"
+        )
+    cents = ivf_train_centroids(embeddings, n_centroids, sample_size, id_col, vec_col)
+    lists = ivf_assign(embeddings, cents, id_col, vec_col)
     Q = np.asarray([np.asarray(r["vec"], dtype=np.float64) for r in qrows])
     qn = np.linalg.norm(Q, axis=1)
     qn[qn == 0.0] = 1.0
@@ -265,16 +272,17 @@ def ivf_topk(
         (int(r["vec_id"]), int(l))
         for r, ls in zip(qrows, probes) for l in ls
     ]
-    probe_df = embeddings.sparkSession.createDataFrame(
-        probe_rows, "query_id long, list_id int"
-    )
+    probe_df = spark.createDataFrame(probe_rows, "query_id long, list_id int")
     cands = (
         lists.join(F.broadcast(probe_df), "list_id")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", "vec_id")
     )
-    queries = base.filter(F.col("vec_id").isin(query_ids)).select(
-        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+    # qrows are already on the driver — build the (tiny) query-vector side
+    # from them instead of a second distributed filter-scan of the table
+    queries = spark.createDataFrame(
+        [(int(r["vec_id"]), list(map(float, r["vec"]))) for r in qrows],
+        "query_id long, qvec array<double>",
     )
     scored = (
         cands.join(base, "vec_id")
@@ -346,8 +354,10 @@ def blocked_all_pairs_cosine(
                 else:
                     iy, Y = unpack(yr)
                 C = X @ Y.T
-                # HALF_UP to 4 decimals (kept values are all > 0)
-                C = np.floor(C * 1e4 + 0.5) / 1e4
+                # round HALF_UP (away from zero, matching Spark/DuckDB
+                # round()) to 4 decimals — sign-aware so negative
+                # thresholds behave identically to the Catalyst path
+                C = np.sign(C) * np.floor(np.abs(C) * 1e4 + 0.5) / 1e4
                 ai, bi_ = np.nonzero(C >= threshold)
                 if bi == bj:
                     keep = ix[ai] < iy[bi_]
@@ -393,7 +403,12 @@ def embedding_near_dup_pairs(
     surface; if buckets routinely exceed the cap, raise ``n_planes``
     instead of the cap.
     """
-    if n_tables >= 0.05 * (1 << n_planes):
+    integral_id = dict(embeddings.dtypes).get(id_col) in (
+        "bigint", "int", "smallint", "tinyint"
+    )
+    if integral_id and n_tables >= 0.05 * (1 << n_planes):
+        # the blocked kernel packs ids as int64; non-integral id columns
+        # (the LSH path only needs orderable ids) stay on the bucket path
         return blocked_all_pairs_cosine(
             embeddings, threshold, id_col=id_col, vec_col=vec_col
         )

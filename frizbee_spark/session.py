@@ -55,10 +55,6 @@ def get_spark(app_name: str = "frizbee-spark", cores: int | None = None, extra: 
     )
     if local_dir:
         builder = builder.config("spark.local.dir", local_dir)
-    # ad-hoc conf overrides for experiments: "k=v;k=v"
-    for kv in filter(None, os.environ.get("SPARK_GRAFT_CONF", "").split(";")):
-        k, _, v = kv.partition("=")
-        builder = builder.config(k.strip(), v.strip())
     if os.environ.get("SPARK_GRAFT_EVENTLOG"):
         ev_dir = os.environ.get("SPARK_GRAFT_EVENTLOG_DIR", "/tmp/spark-events")
         os.makedirs(ev_dir, exist_ok=True)
@@ -69,6 +65,12 @@ def get_spark(app_name: str = "frizbee-spark", cores: int | None = None, extra: 
         )
     for k, v in (extra or {}).items():
         builder = builder.config(k, v)
+    # ad-hoc conf overrides for experiments: "k=v;k=v" — applied LAST so
+    # they actually override the defaults above (builder.config is
+    # last-write-wins)
+    for kv in filter(None, os.environ.get("SPARK_GRAFT_CONF", "").split(";")):
+        k, _, v = kv.partition("=")
+        builder = builder.config(k.strip(), v.strip())
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

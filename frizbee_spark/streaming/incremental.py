@@ -114,9 +114,12 @@ def verify_increment(
 
 
 def _read_state(s, path: str, exclude_batch: int):
-    """Union of all committed (``_SUCCESS``-marked) per-batch state
-    partitions EXCEPT ``exclude_batch`` — a replayed batch must never see
-    its own half-written first attempt."""
+    """Union of committed (``_SUCCESS``-marked) per-batch state partitions
+    STRICTLY BEFORE ``exclude_batch`` — batch N's state view is always
+    "batches < N", so a replay reproduces the original computation exactly
+    (never sees its own half-written first attempt, and never sees
+    later-committed batches, which would re-discover cross-batch duplicate
+    edges under a second batch_id and double-count them)."""
     import os
 
     if not os.path.isdir(path):
@@ -125,7 +128,7 @@ def _read_state(s, path: str, exclude_batch: int):
         d for d in os.listdir(path)
         if d.startswith("batch_id=")
         and os.path.exists(os.path.join(path, d, "_SUCCESS"))
-        and int(d.split("=", 1)[1]) != exclude_batch
+        and int(d.split("=", 1)[1]) < exclude_batch
     ]
     if not subs:
         return None

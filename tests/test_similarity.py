@@ -176,3 +176,11 @@ class TestIVF:
         sizes = ivf_assign(df, cents).groupBy("list_id").count().collect()
         assert len(sizes) >= 6  # clusters actually spread across lists
         assert max(r["count"] for r in sizes) < 320  # no single mega-list
+
+    def test_empty_query_set_returns_empty(self, spark):
+        from frizbee_spark.operators.similarity import ivf_topk
+
+        df = self._clustered(spark, n_blobs=2, per_blob=10)
+        out = ivf_topk(df, [999_999], k=3, n_centroids=2, nprobe=1)
+        assert out.count() == 0
+        assert out.columns == ["query_id", "neighbor_id", "cosine"]

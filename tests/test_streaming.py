@@ -99,8 +99,11 @@ class TestStream:
             [("u1", ts, None, TEXT_A, "en"), ("u2", ts, None, TEXT_A, "en")],
             "url string, warc_ts timestamp, html binary, text string, lang string",
         )
+        # u3 is a cross-batch dup of u1: an out-of-order replay of batch 0
+        # that could see batch 1's state would re-discover the u1-u3 edge
+        # under batch_id=0 and double-count it
         b1 = spark.createDataFrame(
-            [("u3", ts, None, TEXT_B, "en")],
+            [("u3", ts, None, TEXT_A, "en"), ("u4", ts, None, TEXT_B, "en")],
             "url string, warc_ts timestamp, html binary, text string, lang string",
         )
         proc(b0, 0)
@@ -116,9 +119,10 @@ class TestStream:
         proc(b0, 0)  # crash-replay of batch 0 after batch 1 committed
         proc(b1, 1)  # and of batch 1
         assert counts() == once
-        edges = {(r["a"], r["b"]) for r in
-                 spark.read.parquet(os.path.join(state, "edges")).collect()}
-        assert len(edges) == 1  # u1-u2 exact pair, exactly once
+        edge_rows = spark.read.parquet(os.path.join(state, "edges")).collect()
+        edges = {(r["a"], r["b"]) for r in edge_rows}
+        assert len(edge_rows) == len(edges)  # no pair appears twice
+        assert len(edges) >= 2  # u1-u2 (in-batch) and u1/u2-u3 (cross-batch)
 
     def test_replay_ignores_own_half_written_state(self, spark, tmp_path):
         # a replay must not read its own first attempt's partial output
