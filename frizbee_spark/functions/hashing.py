@@ -251,6 +251,10 @@ def minhash_signatures(
     Both are fixed seeded families, identical on every executor, and
     per-doc deterministic (invariant to batch/chunk boundaries).
     """
+    if method not in ("oph", "perm"):
+        # signatures from different families are band-incompatible — a
+        # typo silently destroying LSH recall must fail loudly
+        raise ValueError(f"minhash_signatures: unknown method {method!r}")
     ndocs = shingle_starts.size - 1
     sig = np.empty((ndocs, num_perm), dtype=_U64)
     if ndocs == 0:

@@ -470,7 +470,7 @@ def greedy_batch(
     needle: bytes,
     texts: list[bytes],
     scoring: Scoring = DEFAULT_SCORING,
-    max_cells: int = 32 * 1024 * 1024,
+    max_cells: int = 4 * 1024 * 1024,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Vectorized greedy fallback matcher: one needle vs a batch of texts.
 
@@ -487,7 +487,11 @@ def greedy_batch(
 
     Returns ``(scores, exact)``; failed rows (some needle char unmatched)
     score 0, as in the reference. Sub-batches rows so the padded matrix
-    stays under ``max_cells`` bytes.
+    stays under ``max_cells`` CELLS; the kernel's temporaries cost ~25
+    bytes per cell (two int32 bonus planes, int64 positions, int16/bool
+    masks), so the default 4M cells bounds transient memory near ~100 MB
+    per task — 32 concurrent Arrow tasks stay within a few GB instead of
+    the ~25 GB the old 32M-cell default could transiently demand.
     """
     bsz = len(texts)
     scores = np.zeros(bsz, dtype=np.int64)

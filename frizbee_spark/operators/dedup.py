@@ -391,6 +391,25 @@ def pairs_from_buckets(
             carry_ids = ids[last_start:].copy()
             if payload:
                 carry_pl = pl[last_start:].copy()
+            if carry_ids.size > 4 * cfg.salt_threshold:
+                # a single hot bucket spanning many Arrow batches would
+                # otherwise re-concatenate its whole prefix every batch —
+                # quadratic copies and unbounded task memory. Emit the
+                # oversized carry as its own segment now and keep only a
+                # one-row link (the segment's min doc — index 0, the
+                # partition is sorted by (_bk, doc_id)) so the next
+                # segment stays connected to this one through a shared
+                # member. Bounds carry to O(flush cap); a row is copied at
+                # most cap/batch times. Pair multiplicity for such giant
+                # buckets differs slightly from the single-segment
+                # formulation (extra link edges); connectivity — the
+                # property clustering needs — is preserved, and
+                # dropDuplicates removes repeated link pairs.
+                yield emit(carry_ids, carry_pl if payload else None,
+                           np.array([carry_ids.size], dtype=np.int64))
+                carry_ids = carry_ids[:1].copy()
+                if payload:
+                    carry_pl = carry_pl[:1].copy()
             if last_start:
                 sizes = np.diff(np.concatenate(([0], bounds)))
                 yield emit(ids[:last_start],
@@ -450,7 +469,12 @@ def unified_candidate_pairs(
             F.array(*[
                 F.xxhash64(
                     F.lit("simhash"), F.lit(i),
-                    F.shiftrightunsigned("simhash", 16 * i) % F.lit(65536),
+                    # bitwiseAND, not % 65536: Spark % follows the
+                    # dividend's sign, so at i=0 (shift 0) a negative
+                    # simhash sharing low 16 bits with a positive one got
+                    # a different key, silently dropping the pigeonhole
+                    # chunk-equal pair (sign bit lives in chunk 3)
+                    F.shiftrightunsigned("simhash", 16 * i).bitwiseAND(F.lit(65535)),
                 )
                 for i in range(4)
             ])
@@ -512,7 +536,10 @@ def simhash_pairs(signatures: DataFrame, cfg: DedupConfig = DEFAULT_DEDUP) -> Da
             F.array(*[
                 F.struct(
                     F.lit(i).alias("chunk_id"),
-                    (F.shiftrightunsigned("simhash", 16 * i) % F.lit(65536)).alias("chunk"),
+                    # & 65535 (same sign caveat as unified_candidate_pairs)
+                    # — matches the SQL oracle's ((sim >> 16i) & 65535)
+                    (F.shiftrightunsigned("simhash", 16 * i)
+                     .bitwiseAND(F.lit(65535))).alias("chunk"),
                 )
                 for i in range(4)
             ])

@@ -343,9 +343,21 @@ class NearDupPipeline:
             )
 
         def _join_span():
-            if span_future is not None:
+            if span_future is None:
+                return
+            import sys
+
+            unwinding = sys.exc_info()[0] is not None
+            try:
                 out["span_pairs"] = span_future.result()
-                pool.shutdown()
+            except Exception:
+                # when called from `finally` during another exception's
+                # unwind, a span-branch failure (usually the same root
+                # cause) must not REPLACE the primary traceback
+                if not unwinding:
+                    raise
+            finally:
+                pool.shutdown(wait=False)
 
         try:
             signatures = self._stage(
@@ -389,6 +401,12 @@ class NearDupPipeline:
         finally:
             # always join the concurrent span branch (success or failure)
             _join_span()
+            # and never leak the invariant-check thread on an error path
+            # (shutdown(wait=False) is idempotent and does not cancel the
+            # in-flight future, so the success path's _join_check below
+            # still reads its result)
+            if check_future is not None and check_pool is not None:
+                check_pool.shutdown(wait=False)
         _join_check()
         if until == "verified":
             self.flush_metrics()

@@ -54,12 +54,17 @@ def read_text_lines(spark: SparkSession, path: str) -> DataFrame:
     source of the reference (/root/reference/benches/lib.rs:22-26 reads the
     Chromium path list the same way).
 
-    doc_id = xxhash64(file, content, per-file line sequence), so duplicate
-    lines get distinct ids (the pipeline's id-collision invariant). The
-    sequence comes from a window over ``monotonically_increasing_id`` per
-    file: deterministic for a fixed file layout + session config; a
-    re-read under a different split size renumbers lines within a file
-    (ids stay unique, ordering-sensitive callers should persist ids).
+    doc_id = xxhash64(file, content, occurrence index of that exact line
+    within the file), so duplicate lines get distinct ids (the pipeline's
+    id-collision invariant). The occurrence index comes from a window
+    partitioned by (file, line CONTENT) — not by file alone, which would
+    funnel every row of a single-file input through one shuffle partition
+    and one core; the (file, value) key is fine-grained, so the shuffle
+    stays parallel and each window holds only a line's duplicates.
+    Ordering within a duplicate group uses ``monotonically_increasing_id``:
+    deterministic for a fixed file layout + session config; a re-read
+    under a different split size may renumber WHICH duplicate gets which
+    index (ids stay unique and the id SET is layout-invariant).
     """
     from pyspark.sql.window import Window
 
@@ -68,7 +73,7 @@ def read_text_lines(spark: SparkSession, path: str) -> DataFrame:
         F.col("_metadata.file_path").alias("_file"),
         F.monotonically_increasing_id().alias("_mid"),
     )
-    w = Window.partitionBy("_file").orderBy("_mid")
+    w = Window.partitionBy("_file", "value").orderBy("_mid")
     return lines.select(
         F.xxhash64("_file", "value", F.row_number().over(w).cast("string"))
         .alias("doc_id"),

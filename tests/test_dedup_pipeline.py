@@ -187,6 +187,28 @@ class TestPairsFromBuckets:
             parent[find(int(r["b"]))] = find(int(r["a"]))
         assert len({find(i) for i in range(50)}) == 1
 
+    def test_hot_bucket_segment_flush_stays_connected(self, spark):
+        # a bucket larger than 4*salt_threshold spans many Arrow batches
+        # and is emitted in linked segments (bounded carry); the union of
+        # segment edges must still connect the whole bucket, linearly
+        cfg = DedupConfig(dense_cap=8, salt_threshold=100, n_salt=4)
+        n = 3000  # > 4 * 100 flush cap, > maxRecordsPerBatch
+        rows = [(1, i) for i in range(n)]
+        df = spark.createDataFrame(rows, "bkt long, doc_id long")
+        got = pairs_from_buckets(df, ["bkt"], cfg).collect()
+        assert len(got) <= 4 * n  # linear-ish, never quadratic
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in got:
+            parent[find(int(r["b"]))] = find(int(r["a"]))
+        assert len({find(i) for i in range(n)}) == 1
+
     def test_salted_bucket_stays_connected(self, spark):
         cfg = DedupConfig(dense_cap=8, salt_threshold=20, n_salt=4)
         rows = [(1, i) for i in range(200)] + [(2, 1000 + i) for i in range(3)]
@@ -322,3 +344,21 @@ class TestBucketPairsKernel:
             np.array([1, 2, 3], dtype=np.int64), np.array([1, 1, 1]), DEFAULT_DEDUP
         )
         assert a.size == 0
+
+
+@pytest.mark.spark
+class TestSimhashChunkKeys:
+    def test_sign_bit_pair_shares_chunk0_bucket(self, spark):
+        # regression: `% 65536` followed the dividend's sign, so a pair
+        # sharing low 16 bits but differing in bit 63 (chunk 3) lost its
+        # only pigeonhole-equal chunk-0 bucket and was silently dropped
+        from frizbee_spark.operators.dedup import simhash_pairs
+
+        a = 0x1234  # chunks 1..3 zero, low16 = 0x1234
+        b_u = a ^ (1 << 63) ^ (1 << 20) ^ (1 << 40)  # Hamming 3, chunk 0 equal
+        b = b_u - (1 << 64) if b_u >= (1 << 63) else b_u
+        sigs = spark.createDataFrame(
+            [(1, a), (2, b)], "doc_id long, simhash long"
+        )
+        got = {(r["a"], r["b"]) for r in simhash_pairs(sigs).collect()}
+        assert (1, 2) in got
