@@ -118,6 +118,11 @@ def main() -> None:
             t0 = time.monotonic()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             timings[name] = round(time.monotonic() - t0, 3)
+            # each query is an independent unit of work: release operator
+            # caches so no query pays another's eviction pressure
+            from frizbee_spark.util import release_tracked
+
+            release_tracked()
 
     spark.stop()
     print(json.dumps({

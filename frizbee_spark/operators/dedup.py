@@ -46,6 +46,7 @@ from ..functions.hashing import (
     winnow_fingerprints,
 )
 from ..functions.wavefront import normalized_similarity, self_scores_batch, sw_score_banded
+from ..util import tracked_persist
 
 
 @dataclass(frozen=True)
@@ -505,7 +506,9 @@ def unified_candidate_pairs(
             "a", "b",
             F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))).alias("_ham"),
         )
-    ).persist()  # consumed twice by the degree-cap union below
+    )
+    gated = tracked_persist(gated)  # consumed twice by the degree-cap union
+    # below; released by the owning unit of work (util.release_tracked)
     # per-doc degree cap (see DedupConfig.degree_cap): rank each doc's
     # partners by (Hamming, partner id); an edge survives if EITHER
     # endpoint ranks it within the cap
@@ -608,7 +611,10 @@ def winnow_span_pairs(
 
     # persist: pairs_from_buckets scans its input from several plan
     # branches — without this the winnowing UDF re-executes per branch
-    fps = work.mapInPandas(run, schema="doc_id long, fp long, pos long").persist()
+    # (released by the owning unit of work via util.release_tracked)
+    fps = tracked_persist(
+        work.mapInPandas(run, schema="doc_id long, fp long, pos long")
+    )
     # a pair co-occurring in m fingerprint buckets shares >= m
     # fingerprints; min(struct) keeps ONE coherent witness offset pair
     # (both offsets from the same fingerprint row) for the byte check
@@ -705,8 +711,11 @@ def verify_pairs(
                 & (F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb")))
                    > cfg.verify_hamming_reject),
             )
-        ).persist()  # three consumers (exact / reject / survivors): without
-        # this the candidate-generation plan upstream re-executes per branch
+        )
+        tagged = tracked_persist(tagged)  # three consumers (exact / reject /
+        # survivors): without this the candidate-generation plan upstream
+        # re-executes per branch. Released by the owning unit of work
+        # (pipeline stage boundary / streaming batch end / bench loop).
         pre_exact = tagged.filter("_exact").select(
             "a", "b",
             F.lit(0).cast("long").alias("score"),

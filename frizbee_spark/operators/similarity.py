@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
 from ..functions.hashing import splitmix64
+from ..util import tracked_persist
 
 
 def _cosine_expr(a: str, b: str):
@@ -415,9 +416,11 @@ def embedding_near_dup_pairs(
     dim = len(embeddings.select(vec_col).limit(1).collect()[0][0])
     buckets = lsh_bucket_ids(embeddings, dim, n_planes, n_tables, id_col, vec_col)
     sizes = buckets.groupBy("table_id", "bucket").agg(F.count("*").alias("_bsz"))
-    capped = buckets.join(
-        sizes.filter(F.col("_bsz") <= max_bucket), ["table_id", "bucket"]
-    ).persist()  # two self-join branches below
+    capped = tracked_persist(
+        buckets.join(
+            sizes.filter(F.col("_bsz") <= max_bucket), ["table_id", "bucket"]
+        )
+    )  # two self-join branches below; released via util.release_tracked
     pairs = (
         capped.alias("x")
         .join(capped.alias("y"),

@@ -221,7 +221,29 @@ class NearDupPipeline:
         input_path: str | None = None,
         until: str = "canonical",
     ) -> dict[str, DataFrame]:
-        """Execute stages up to `until` (inclusive); returns stage tables."""
+        """Execute stages up to `until` (inclusive); returns stage tables.
+
+        Caches created by the operators (verify tag table, gated
+        candidates, winnow fingerprints) are released in the ``finally``
+        below — after every submission thread is joined — so back-to-back
+        runs in one session never accumulate CacheManager blocks
+        (round-2 advice). Flow-through stage frames in the returned dict
+        recompute if re-used after the run; checkpointed stages are
+        parquet read-backs and unaffected.
+        """
+        from .util import release_tracked
+
+        try:
+            return self._run(docs, input_path, until)
+        finally:
+            release_tracked()
+
+    def _run(
+        self,
+        docs: DataFrame | None,
+        input_path: str | None,
+        until: str,
+    ) -> dict[str, DataFrame]:
         cfg, d = self.cfg, self.cfg.dedup
         out: dict[str, DataFrame] = {}
 

@@ -153,8 +153,19 @@ def make_batch_processor(spark, state_dir: str, cfg: DedupConfig = DEFAULT_DEDUP
     edges_path = os.path.join(state_dir, "edges")
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from ..util import release_tracked
+
         if batch_df.isEmpty():
             return
+        try:
+            _process_batch_inner(batch_df, batch_id)
+        finally:
+            # verify_pairs persists its tag table per call; a stream runs
+            # this every micro-batch, so without a per-batch release the
+            # CacheManager grows unboundedly for the stream's lifetime
+            release_tracked()
+
+    def _process_batch_inner(batch_df: DataFrame, batch_id: int) -> None:
         s = spark
         new_docs = with_doc_id(normalize_text(batch_df, "text"), "url").select(
             "doc_id", "url", "norm_text"

@@ -2,7 +2,52 @@
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
+
+_PERSIST_LOCK = threading.Lock()
+_PERSISTED: list[DataFrame] = []
+
+
+def tracked_persist(df: DataFrame) -> DataFrame:
+    """``persist()`` + register for :func:`release_tracked`.
+
+    Operators cache plans consumed by several downstream branches
+    (verify tag table, gated candidates, winnow fingerprints, capped LSH
+    buckets); a bare ``.persist()`` with no owner leaks those blocks into
+    the CacheManager for the life of the session — a long-running stream
+    calling verify per micro-batch accumulates them unboundedly, and with
+    ``spark.local.dir`` on /dev/shm the eviction spill competes with the
+    heap for host RAM. Every unit-of-work owner (pipeline run, streaming
+    micro-batch, bench query loop) calls :func:`release_tracked` once its
+    consuming actions finish.
+    """
+    df.persist()
+    with _PERSIST_LOCK:
+        _PERSISTED.append(df)
+    return df
+
+
+def release_tracked() -> int:
+    """Unpersist every DataFrame registered since the last release;
+    returns how many were released.
+
+    Safe even if some plan still references the data (Spark recomputes on
+    next use); intended at unit-of-work boundaries after all submission
+    threads are joined, so no in-flight job loses its cache mid-stage.
+    """
+    with _PERSIST_LOCK:
+        dfs = _PERSISTED[:]
+        _PERSISTED.clear()
+    n = 0
+    for df in dfs:
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:  # session already stopped — nothing to release
+            pass
+    return n
 
 
 def widen_if_narrow(df: DataFrame, min_partitions: int | None = None) -> DataFrame:

@@ -1,95 +1,76 @@
-"""Local stand-in for the driver's correctness gate: run every queries()
-entry AND its oracle_sql() on the same parquet tables, compare row count,
-schema (column names sorted), and a value hash over sorted columns/rows.
+"""Run driver-contract queries against their DuckDB oracles, mirroring
+the driver's compare (sorted column names, row counts, value hash).
 
-Usage: python scripts/check_oracles.py [sf_dir] [only_query ...]
+Usage: python scripts/check_oracles.py [sf_dir] [query ...]
+Defaults: /root/testdata/sf0.01, all queries.
 """
 
-from __future__ import annotations
-
+import hashlib
 import os
 import sys
 
-import duckdb
-import pandas as pd
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def norm_frame(df: pd.DataFrame) -> pd.DataFrame:
-    df = df[sorted(df.columns)].copy()
-    for c in df.columns:
-        if df[c].dtype == object:
-            df[c] = df[c].astype(str)
-    return df.sort_values(by=list(df.columns), ignore_index=True)
+def value_hash(df) -> str:
+    import pandas as pd
 
-
-def value_hash(df: pd.DataFrame) -> str:
-    import hashlib
-
+    cols = sorted(df.columns)
+    d = df[cols].copy()
+    for c in cols:
+        if d[c].dtype == object:
+            d[c] = d[c].astype(str)
+        elif str(d[c].dtype).startswith("float"):
+            d[c] = d[c].round(6)
+    rows = sorted(tuple(str(v) for v in r) for r in d.itertuples(index=False))
     h = hashlib.sha256()
-    for c in df.columns:
-        col = df[c]
-        if col.dtype.kind == "f":
-            col = col.round(6)
-        h.update(pd.util.hash_pandas_object(col, index=False).values.tobytes())
+    for r in rows:
+        h.update("\x1f".join(r).encode())
+        h.update(b"\x1e")
     return h.hexdigest()[:16]
 
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    import duckdb
 
-    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     import __spark_entry__ as E
     from frizbee_spark.session import get_spark
+    from frizbee_spark.util import release_tracked
 
-    spark = get_spark("oracle-check", cores=8)
+    spark = get_spark("oracle-check", cores=int(os.environ.get("SPARK_GRAFT_CPUS", 8)))
     con = duckdb.connect()
     for t in ("region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"):
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
     qs, oracles = E.queries(), E.oracle_sql()
-    n_pass = n_fail = n_noor = 0
-    for name, fn in qs.items():
-        if only and name not in only:
-            continue
+    names = sys.argv[2:] or list(qs)
+    failed = []
+    for name in names:
         try:
-            sdf = fn(spark, sf_dir).toPandas()
-        except Exception as ex:
-            print(f"{name:28s} SPARK ERROR: {ex}")
-            n_fail += 1
-            continue
-        if name not in oracles:
-            print(f"{name:28s} rows={len(sdf):6d}  (no_oracle)")
-            n_noor += 1
-            continue
-        try:
+            sdf = qs[name](spark, sf_dir).toPandas()
+            release_tracked()
+            if name not in oracles:
+                print(f"{name}: rows={len(sdf)} (rows-only, no oracle)")
+                continue
             odf = con.execute(oracles[name]).df()
-        except Exception as ex:
-            print(f"{name:28s} ORACLE ERROR: {ex}")
-            n_fail += 1
-            continue
-        s, o = norm_frame(sdf), norm_frame(odf)
-        rows_ok = len(s) == len(o)
-        schema_ok = list(s.columns) == list(o.columns)
-        hash_ok = rows_ok and schema_ok and value_hash(s) == value_hash(o)
-        ok = rows_ok and schema_ok and hash_ok
-        n_pass += ok
-        n_fail += (not ok)
-        print(f"{name:28s} rows {len(s):6d}/{len(o):6d} "
-              f"schema={'ok' if schema_ok else list(s.columns) + ['|'] + list(o.columns)} "
-              f"hash={'ok' if hash_ok else 'MISMATCH'}")
-        if not hash_ok and rows_ok and schema_ok and len(s) == len(o):
-            diff = (s != o)
-            bad_cols = [c for c in s.columns if diff[c].any()]
-            print(f"    differing columns: {bad_cols[:5]}")
-            for c in bad_cols[:2]:
-                idx = diff[c].idxmax()
-                print(f"    first diff col={c} row={idx}: spark={s[c][idx]!r} oracle={o[c][idx]!r}")
-    print(f"\npass={n_pass} fail={n_fail} no_oracle={n_noor}")
+            rows = len(sdf) == len(odf)
+            schema = sorted(sdf.columns) == sorted(odf.columns)
+            hmatch = value_hash(sdf) == value_hash(odf) if rows and schema else False
+            ok = rows and schema and hmatch
+            print(f"{name}: rows={len(sdf)}/{len(odf)} schema={schema} hash={hmatch}"
+                  + ("" if ok else "  <-- FAIL"))
+            if not ok:
+                failed.append(name)
+        except Exception as e:  # noqa: BLE001
+            print(f"{name}: ERROR {type(e).__name__}: {e}")
+            failed.append(name)
     spark.stop()
+    print("FAILED:", failed if failed else "none")
+    sys.exit(1 if failed else 0)
 
 
 if __name__ == "__main__":
