@@ -63,7 +63,10 @@ def _pipeline_frames(spark: SparkSession, sf_dir: str) -> dict:
     cfg = _dedup_cfg()
     docs = _norm_docs(spark, sf_dir)
     sigs = compute_signatures(docs, cfg)
-    cands = unified_candidate_pairs(sigs, cfg, include_simhash=False)
+    # include_simhash=True: the block-combination SimHash source is the
+    # pipeline default since r3 (scale-safe ~32-bit table keys); the SQL
+    # oracle mirrors it via sql_oracles.simhash_chunks_cte
+    cands = unified_candidate_pairs(sigs, cfg, include_simhash=True)
     verified = verify_pairs(cands, docs, cfg, signatures=sigs)
     return {"cfg": cfg, "docs": docs, "sigs": sigs, "cands": cands,
             "verified": verified}

@@ -237,6 +237,29 @@ simh AS (
 )"""
 
 
+def simhash_chunks_cte(cfg: DedupConfig) -> str:
+    """``chunks(doc_id, chunk_id, chunk)`` — the block-combination table
+    keys (dedup.simhash_table_layout twin, big-endian pack like
+    dedup._simhash_key_col). One SELECT per table, unioned."""
+    from frizbee_spark.operators.dedup import simhash_table_layout
+
+    sels = []
+    for t, blocks in enumerate(simhash_table_layout(cfg.hamming_max)):
+        total = sum(w for _, w in blocks)
+        consumed = 0
+        parts = []
+        for start, width in blocks:
+            consumed += width
+            parts.append(
+                f"(((sim >> {start}) & {(1 << width) - 1}) << {total - consumed})"
+            )
+        sels.append(
+            f"SELECT doc_id, {t} AS chunk_id, "
+            f"({' | '.join(parts)})::BIGINT AS chunk FROM simh"
+        )
+    return "chunks AS (\n    " + "\n    UNION ALL ".join(sels) + "\n)"
+
+
 def winnow_span_sql(cfg: DedupConfig = DEFAULT_DEDUP) -> str:
     """SQL oracle for ``winnow_span_pairs(normalize_text(documents), cfg)``
     with confirm=True — output columns (a, b, shared_fps, span_confirmed).
@@ -349,11 +372,15 @@ def _sw_cell_expr(cfg: DedupConfig, scoring: Scoring) -> str:
 
 
 def sw_verify_cte(cfg: DedupConfig = DEFAULT_DEDUP,
-                  scoring: Scoring = DEFAULT_SCORING) -> str:
-    """CTE chain (requires ``nd`` + ``sh`` + ``simh`` upstream) computing
+                  scoring: Scoring = DEFAULT_SCORING,
+                  include_simhash: bool = True) -> str:
+    """CTE chain (requires ``nd`` + ``sh`` + ``simh`` upstream, plus
+    ``chunks`` when ``include_simhash``) computing
     ``verified(a, b, score, similarity, exact, verified)`` — the SQL twin
-    of unified_candidate_pairs(include_simhash=False) + verify_pairs with
-    the exact/Hamming pre-join gates and the banded wavefront SW scorer.
+    of unified_candidate_pairs + verify_pairs with the exact/Hamming
+    pre-join gates and the banded wavefront SW scorer. ``include_simhash``
+    adds the block-combination SimHash buckets as a third candidate
+    source, matching unified_candidate_pairs(include_simhash=True).
 
     The banded Smith-Waterman runs as a recursive CTE over anti-diagonals
     (the wavefront has no intra-diagonal dependency): state per (pair,
@@ -377,7 +404,9 @@ txt AS (
 cand_buckets AS (
     SELECT doc_id, concat('exact:', md5(nt)) AS ck FROM txt
     UNION ALL
-    SELECT doc_id, concat('lsh:', band_id, ':', band_key) AS ck FROM bkey
+    SELECT doc_id, concat('lsh:', band_id, ':', band_key) AS ck FROM bkey{'''
+    UNION ALL
+    SELECT doc_id, concat('sim:', chunk_id, ':', chunk) AS ck FROM chunks''' if include_simhash else ''}
 ),
 {_pairs_cte('cand_buckets', 'ck', cfg).lstrip()},
 cand AS (SELECT DISTINCT a, b FROM allp),
@@ -522,7 +551,7 @@ def sw_verified_pairs_sql(cfg: DedupConfig = DEFAULT_DEDUP) -> str:
     columns (a, b, score, similarity, exact, verified)."""
     return _materialize(
         f"WITH RECURSIVE {_shingle_cte(cfg)}, {_oph_band_cte(cfg)},"
-        f"{simhash_cte(cfg)}, {sw_verify_cte(cfg)}\n"
+        f"{simhash_cte(cfg)}, {simhash_chunks_cte(cfg)}, {sw_verify_cte(cfg)}\n"
         "SELECT a, b, score, similarity, exact, verified FROM verified "
         "ORDER BY a, b"
     )
@@ -535,7 +564,7 @@ def dedup_clusters_sql(cfg: DedupConfig = DEFAULT_DEDUP) -> str:
     for every document."""
     return _materialize(
         f"WITH RECURSIVE {_shingle_cte(cfg)}, {_oph_band_cte(cfg)},"
-        f"{simhash_cte(cfg)}, {sw_verify_cte(cfg)},\n"
+        f"{simhash_cte(cfg)}, {simhash_chunks_cte(cfg)}, {sw_verify_cte(cfg)},\n"
         """
 edges AS (SELECT a, b FROM verified WHERE verified),
 ebidir AS (
@@ -557,10 +586,7 @@ def simhash_pairs_sql(cfg: DedupConfig = DEFAULT_DEDUP) -> str:
     normalize_text(documents)))`` — output columns (a, b)."""
     return _materialize(f"""WITH {_shingle_cte(cfg)},
 {simhash_cte(cfg)},
-chunks AS (
-    SELECT doc_id, i AS chunk_id, ((sim >> (16 * i)) & 65535) AS chunk
-    FROM simh, unnest(generate_series(0, 3)) AS t(i)
-),
+{simhash_chunks_cte(cfg)},
 {_pairs_cte('chunks', 'chunk_id, chunk', cfg).lstrip()}
 SELECT DISTINCT p.a, p.b FROM allp p
 JOIN simh sa ON sa.doc_id = p.a

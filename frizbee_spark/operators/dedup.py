@@ -11,7 +11,7 @@ N-docs-vs-N-docs:
   candidate generation:
       exact_hash_pairs    xxhash64(norm_text) equality       [A4 fast path]
       lsh_band_pairs      MinHash-LSH bucket pairing          [F5 precedent]
-      simhash_pairs       16-bit chunk buckets + Hamming<=k   [F7 precedent]
+      simhash_pairs       block-combination buckets + Hamming<=k [F7 precedent]
       winnow_span_pairs   shared winnowing fingerprints       [F9 rerouting]
   verify_pairs     banded Smith-Waterman similarity           [K1/K2]
 
@@ -464,20 +464,18 @@ def unified_candidate_pairs(
     lsh_b = signatures.select(
         F.posexplode("band_keys").alias("band_id", "band_key"), "doc_id"
     ).select(F.xxhash64(F.lit("lsh"), "band_id", "band_key").alias("bkey"), "doc_id")
+    # block-combination tables (simhash_table_layout): pigeonhole-complete
+    # within the Hamming ball, ~32-bit keys so chance buckets stay empty
+    # at web scale — this is what lets enable_simhash default to True
     sim_b = signatures.select(
         "doc_id",
         F.explode(
             F.array(*[
                 F.xxhash64(
-                    F.lit("simhash"), F.lit(i),
-                    # bitwiseAND, not % 65536: Spark % follows the
-                    # dividend's sign, so at i=0 (shift 0) a negative
-                    # simhash sharing low 16 bits with a positive one got
-                    # a different key, silently dropping the pigeonhole
-                    # chunk-equal pair (sign bit lives in chunk 3)
-                    F.shiftrightunsigned("simhash", 16 * i).bitwiseAND(F.lit(65535)),
+                    F.lit("simhash"), F.lit(t),
+                    _simhash_key_col(F.col("simhash"), blocks),
                 )
-                for i in range(4)
+                for t, blocks in enumerate(simhash_table_layout(cfg.hamming_max))
             ])
         ).alias("bkey"),
     ).select("bkey", "doc_id")
@@ -525,29 +523,88 @@ def unified_candidate_pairs(
     return kept
 
 
-def simhash_pairs(signatures: DataFrame, cfg: DedupConfig = DEFAULT_DEDUP) -> DataFrame:
-    """SimHash candidate edges: equal 16-bit chunk, Hamming(sim) <= k.
+def simhash_table_layout(hamming_max: int) -> list[tuple[tuple[int, int], ...]]:
+    """Block-combination SimHash table layout (Manku, Jain & Das Sarma,
+    WWW'07 "Detecting near-duplicates for web crawling" — public
+    algorithm): split the 64-bit fingerprint into ``m = hamming_max + 3``
+    blocks and key one table on every 3-block combination.
 
-    Hamming <= 3 over 4 chunks guarantees one equal chunk (pigeonhole), so
-    chunk buckets have no false negatives; the bit_count filter afterwards
-    is exact and JVM-side (survey F7 — the reference's dormant bitmask
-    prefilter, compared by popcount there too: bitmask.rs:50-58).
+    Guarantee (pigeonhole, like the reference's popcount-compared bitmask
+    prefilter, /root/reference/src/prefilter/bitmask.rs:50-58): a pair
+    within Hamming distance ``hamming_max`` differs in at most
+    ``hamming_max`` blocks, so at least 3 blocks are intact and the table
+    keyed on exactly those 3 collides — zero false negatives.
+
+    Scale (the r2 gap this replaces): the old 4x16-bit chunks produced
+    ~C(n,2)*4/2^17 chance pairs — quadratic noise once n >> 65k. Keys here
+    are ~32 bits (3 blocks of ~11), so chance pairs are
+    ~C(n,2)*C(m,3)/2^33: ~186 at n=400k for hamming_max=3 (measured in
+    tests/test_dedup_pipeline.py), which is what makes SimHash viable as a
+    candidate SOURCE rather than only a verify gate. C(hamming_max+3, 3)
+    tables (20 for the default hamming_max=3).
+
+    Returns one tuple of (bit_start, width) blocks per table.
     """
+    from itertools import combinations
+
+    m = hamming_max + 3
+    base, rem = divmod(64, m)
+    widths = [base + 1 if i < rem else base for i in range(m)]
+    starts = [sum(widths[:i]) for i in range(m)]
+    return [
+        tuple((starts[i], widths[i]) for i in combo)
+        for combo in combinations(range(m), 3)
+    ]
+
+
+def _simhash_key_col(sim_col, blocks):
+    """Catalyst column packing the given (start, width) blocks of a
+    simhash long into one big-endian key (JVM-side, codegen)."""
+    key = None
+    for start, width in blocks:
+        b = F.shiftrightunsigned(sim_col, start).bitwiseAND(F.lit((1 << width) - 1))
+        key = b if key is None else F.shiftleft(key, width).bitwiseOR(b)
+    return key
+
+
+def simhash_table_keys_np(sim: np.ndarray, hamming_max: int) -> np.ndarray:
+    """(n_tables, n) int64 NumPy twin of :func:`_simhash_key_col` over
+    :func:`simhash_table_layout` — used by the chance-rate and guarantee
+    tests, and by anyone sizing bucket distributions offline."""
+    u = sim.view(np.uint64) if sim.dtype == np.int64 else sim.astype(np.uint64)
+    out = []
+    for blocks in simhash_table_layout(hamming_max):
+        key = np.zeros(u.shape, dtype=np.uint64)
+        for start, width in blocks:
+            key = (key << np.uint64(width)) | (
+                (u >> np.uint64(start)) & np.uint64((1 << width) - 1)
+            )
+        out.append(key.view(np.int64))
+    return np.stack(out)
+
+
+def simhash_pairs(signatures: DataFrame, cfg: DedupConfig = DEFAULT_DEDUP) -> DataFrame:
+    """SimHash candidate edges: equal block-combination key in >= 1 of
+    the C(hamming_max+3, 3) tables, then exact Hamming(sim) <= k.
+
+    The table layout guarantees no false negatives within the Hamming
+    ball (see :func:`simhash_table_layout`); the bit_count filter
+    afterwards is exact and JVM-side (survey F7 — the reference's dormant
+    bitmask prefilter, compared by popcount there too: bitmask.rs:50-58).
+    """
+    layout = simhash_table_layout(cfg.hamming_max)
     chunks = signatures.select(
-        "doc_id", "simhash",
+        "doc_id",
         F.explode(
             F.array(*[
                 F.struct(
-                    F.lit(i).alias("chunk_id"),
-                    # & 65535 (same sign caveat as unified_candidate_pairs)
-                    # — matches the SQL oracle's ((sim >> 16i) & 65535)
-                    (F.shiftrightunsigned("simhash", 16 * i)
-                     .bitwiseAND(F.lit(65535))).alias("chunk"),
+                    F.lit(t).alias("chunk_id"),
+                    _simhash_key_col(F.col("simhash"), blocks).alias("chunk"),
                 )
-                for i in range(4)
+                for t, blocks in enumerate(layout)
             ])
         ).alias("c"),
-    ).select("doc_id", "simhash", "c.chunk_id", "c.chunk")
+    ).select("doc_id", "c.chunk_id", "c.chunk")
     pairs = pairs_from_buckets(chunks.select("chunk_id", "chunk", "doc_id"),
                                ["chunk_id", "chunk"], cfg)
     sim = signatures.select("doc_id", "simhash")

@@ -77,13 +77,12 @@ class PipelineConfig:
     workdir: str
     dedup: DedupConfig = field(default_factory=lambda: DEFAULT_DEDUP)
     resume: bool = True
-    enable_simhash: bool = False  # SimHash as a candidate SOURCE is off by
-    # default: 16-bit chunk buckets produce O(n^2 / 2^16) chance pairs once
-    # n >> 65536 (birthday), and ~16% of chunk-equal chance pairs fall
-    # inside the Hamming ball — quadratic noise for candidates MinHash-LSH
-    # already finds. SimHash still earns its keep as the verify reject
-    # gate. To use it as a source at larger n, widen the chunks (e.g.
-    # 8 x 24-bit overlapping chunks) so 2^bits >> n.
+    enable_simhash: bool = True  # SimHash as a candidate SOURCE (on top of
+    # its verify-gate role). ON by default since the r3 move to
+    # block-combination tables (simhash_table_layout): ~32-bit keys keep
+    # chance pairs ~C(n,2)*20/2^33 (~186 at n=400k, measured), so the
+    # source adds Hamming-ball recall without the quadratic birthday noise
+    # the old 4x16-bit chunks produced at n >> 65k.
     enable_span: bool = True
     check_extraction: bool = True   # assert extracted_text == text per url
     check_id_collisions: bool = True
