@@ -110,7 +110,8 @@ def main() -> None:
         for name in (
             "dedup_clusters", "minhash_lsh_candidates", "sw_verified_pairs",
             "shingle_jaccard_pairs", "near_dup_clusters", "token_stats",
-            "quality_score", "embedding_topk", "ann_topk", "fuzzy_match",
+            "quality_score", "embedding_topk", "ann_topk", "ivf_topk",
+            "fuzzy_match",
             "greedy_match", "canonical_docs", "media_stats",
             "embedding_near_dups", "winnow_span_pairs",
         ):

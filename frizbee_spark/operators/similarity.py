@@ -81,9 +81,17 @@ def _hyperplanes(dim: int, n_planes: int, table: int) -> np.ndarray:
     return g.reshape(n_planes, dim)
 
 
+def _bucket_codes(M: np.ndarray, planes: np.ndarray, n_planes: int) -> np.ndarray:
+    """Sign-LSH bucket code per row of M for one table's hyperplanes —
+    shared by the executor UDF and the driver-side query probing so both
+    compute bit-identical codes."""
+    bits = (M @ planes.T) > 0
+    return (bits << np.arange(n_planes)).sum(axis=1).astype(np.int64)
+
+
 def lsh_bucket_ids(
     embeddings: DataFrame,
-    dim: int,
+    dim: int | None = None,
     n_planes: int = 14,
     n_tables: int = 8,
     id_col: str = "vec_id",
@@ -92,25 +100,44 @@ def lsh_bucket_ids(
     """(vec_id, table_id, bucket) — sign-LSH signatures, one row per table.
 
     Vectorized: each Arrow batch is one (batch x dim) @ (dim x planes)
-    matmul per table.
-    """
-    planes = [_hyperplanes(dim, n_planes, t) for t in range(n_tables)]
+    matmul per table. ``dim`` is optional: the hyperplanes are a pure
+    function of (dim, n_planes, table), so each worker derives them from
+    its first batch — no driver-side probe action on the input."""
+
     work = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
 
     def run(batches):
+        planes = None
         for pdf in batches:
             M = np.array(pdf["vec"].tolist(), dtype=np.float64)
+            if planes is None:
+                d = dim if dim is not None else M.shape[1]
+                planes = [_hyperplanes(d, n_planes, t) for t in range(n_tables)]
             ids = pdf["vec_id"].to_numpy()
             outs = []
             for t, P in enumerate(planes):
-                bits = (M @ P.T) > 0
-                bucket = (bits << np.arange(n_planes)).sum(axis=1).astype(np.int64)
                 outs.append(pd.DataFrame(
-                    {"vec_id": ids, "table_id": t, "bucket": bucket}
+                    {"vec_id": ids, "table_id": t,
+                     "bucket": _bucket_codes(M, P, n_planes)}
                 ))
             yield pd.concat(outs, ignore_index=True)
 
     return work.mapInPandas(run, schema="vec_id long, table_id int, bucket long")
+
+
+def _query_vec_pairs(
+    base: DataFrame, query_ids: list[int], query_vecs: dict | None
+) -> list[tuple[int, np.ndarray]]:
+    """(query_id, vector) pairs — from the caller-provided dict when
+    given (saves a filter-collect action on the table; the driver-contract
+    queries derive query vectors from rows they already hold), else from
+    one tiny filtered collect."""
+    if query_vecs is not None:
+        return [(int(q), np.asarray(query_vecs[q], dtype=np.float64))
+                for q in query_ids if q in query_vecs]
+    rows = base.filter(F.col("vec_id").isin(query_ids)).collect()
+    return [(int(r["vec_id"]), np.asarray(r["vec"], dtype=np.float64))
+            for r in rows]
 
 
 def ann_topk(
@@ -121,6 +148,7 @@ def ann_topk(
     n_tables: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    query_vecs: dict | None = None,
 ) -> DataFrame:
     """Approximate top-k: union of bucket-mates across T sign-LSH tables,
     exact cosine on the candidates only. Recall grows with n_tables and
@@ -128,24 +156,41 @@ def ann_topk(
     occupancy, not N. Sign-LSH recall depends on neighbor cosine: high
     (>0.99 with defaults) when true neighbors have cos >= 0.8, poor on
     near-orthogonal "neighbors" (cos ~ 0.4) — no sublinear method does
-    well there; fall back to brute_force_topk for unstructured data."""
-    dim = len(
-        embeddings.select(vec_col).limit(1).collect()[0][0]
+    well there; fall back to brute_force_topk for unstructured data.
+
+    Plan shape: the query side is tiny, so its bucket codes are computed
+    DRIVER-side from the collected query vectors (bit-identical NumPy,
+    shared _bucket_codes) and broadcast as a literal (table_id, bucket,
+    query_id) probe table — the corpus is scanned exactly once by the
+    bucket UDF and probed with one broadcast equi-join, no second UDF
+    branch and no driver dim-probe action."""
+    spark = embeddings.sparkSession
+    base = embeddings.select(F.col(id_col).alias("vec_id"),
+                             F.col(vec_col).cast("array<double>").alias("vec"))
+    qpairs = _query_vec_pairs(base, query_ids, query_vecs)
+    if not qpairs:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double"
+        )
+    Q = np.stack([v for _, v in qpairs])
+    probe_rows = []
+    for t in range(n_tables):
+        P = _hyperplanes(Q.shape[1], n_planes, t)
+        for (qid, _), code in zip(qpairs, _bucket_codes(Q, P, n_planes)):
+            probe_rows.append((t, int(code), qid))
+    probe_df = spark.createDataFrame(
+        probe_rows, "table_id int, bucket long, query_id long"
     )
-    buckets = lsh_bucket_ids(embeddings, dim, n_planes, n_tables, id_col, vec_col)
-    qb = buckets.filter(F.col("vec_id").isin(query_ids)).withColumnsRenamed(
-        {"vec_id": "query_id"}
-    )
+    buckets = lsh_bucket_ids(embeddings, None, n_planes, n_tables, id_col, vec_col)
     cands = (
-        buckets.join(F.broadcast(qb), ["table_id", "bucket"])
+        buckets.join(F.broadcast(probe_df), ["table_id", "bucket"])
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", "vec_id")
         .dropDuplicates(["query_id", "vec_id"])
     )
-    base = embeddings.select(F.col(id_col).alias("vec_id"),
-                             F.col(vec_col).cast("array<double>").alias("vec"))
-    queries = base.filter(F.col("vec_id").isin(query_ids)).select(
-        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+    queries = spark.createDataFrame(
+        [(qid, list(map(float, v))) for qid, v in qpairs],
+        "query_id long, qvec array<double>",
     )
     scored = (
         cands.join(base, "vec_id")
@@ -216,8 +261,12 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """(vec_id, list_id): nearest-centroid assignment, one vectorized
-    matmul per Arrow batch against the broadcast centroid matrix."""
+    """(vec_id, list_id, cent_cos): nearest-centroid assignment, one
+    vectorized matmul per Arrow batch against the broadcast centroid
+    matrix. ``cent_cos`` is the cosine between the (normalized) vector
+    and its centroid — the per-list minimum of it bounds the list's
+    angular radius, which is what lets :func:`ivf_topk` certify
+    exactness (see there)."""
     C = np.ascontiguousarray(centroids)
     work = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
 
@@ -226,11 +275,13 @@ def ivf_assign(
             M = np.array(pdf["vec"].tolist(), dtype=np.float64)
             nrm = np.linalg.norm(M, axis=1)
             nrm[nrm == 0.0] = 1.0
-            a = np.argmax((M / nrm[:, None]) @ C.T, axis=1)
+            sims = (M / nrm[:, None]) @ C.T
+            a = np.argmax(sims, axis=1)
             yield pd.DataFrame({"vec_id": pdf["vec_id"].to_numpy(),
-                                "list_id": a.astype(np.int32)})
+                                "list_id": a.astype(np.int32),
+                                "cent_cos": sims[np.arange(len(a)), a]})
 
-    return work.mapInPandas(run, schema="vec_id long, list_id int")
+    return work.mapInPandas(run, schema="vec_id long, list_id int, cent_cos double")
 
 
 def ivf_topk(
@@ -242,61 +293,117 @@ def ivf_topk(
     sample_size: int = 16384,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    certify: bool = True,
+    query_vecs: dict | None = None,
 ) -> DataFrame:
-    """IVF approximate top-k: spherical-k-means coarse quantizer, probe
-    the ``nprobe`` inverted lists nearest each query, exact cosine on the
-    probed candidates only — the second ANN scale path beside the
-    sign-LSH :func:`ann_topk` (IVF wins when the data is clustered; LSH
-    when it is not, since LSH needs no training pass).
+    """IVF top-k: spherical-k-means coarse quantizer, probe the ``nprobe``
+    inverted lists nearest each query, exact cosine on the probed
+    candidates only — the second ANN scale path beside the sign-LSH
+    :func:`ann_topk` (IVF wins when the data is clustered; LSH when it is
+    not, since LSH needs no training pass).
 
-    Scale shape: candidates per query ~= N * nprobe / n_centroids; the
-    probe is one equi-join on list_id against a broadcast (query_id,
-    list_id) probe table — no N x N anything. Deterministic end to end
-    (hash-sample training + seedless init), so results are reproducible
-    across runs and cluster layouts.
+    With ``certify`` (default) the result is EXACT by construction, not
+    just high-recall: each list stores its angular radius ``r_l`` (max
+    member angle to centroid = arccos of the per-list min ``cent_cos``
+    from :func:`ivf_assign`), and the spherical triangle inequality gives
+    every unprobed list an upper bound
+    ``cos(max(angle(q, c_l) - r_l, 0))`` on any member's cosine to q.
+    After the first ``nprobe`` lists are scored, any list whose bound
+    could still beat the current kth result (with a 5e-5 slack for the
+    4-decimal output rounding) is probed in a second pass — the ball-tree
+    pruning argument, so the brute-force oracle is valid for every input,
+    clustered or not. On clustered data the bound prunes almost
+    everything (probes ~= nprobe lists); on unstructured data it honestly
+    degrades toward a full scan — which is what exactness costs there.
+
+    Scale shape: candidates per query ~= N * nprobe / n_centroids (plus
+    certification re-probes); each probe pass is one equi-join on list_id
+    against a broadcast (query_id, list_id) table — no N x N anything.
+    The radius aggregation is one groupBy over n_centroids groups.
+    Deterministic end to end (hash-sample training + seedless init).
     """
     spark = embeddings.sparkSession
     base = embeddings.select(F.col(id_col).alias("vec_id"),
                              F.col(vec_col).cast("array<double>").alias("vec"))
-    qrows = base.filter(F.col("vec_id").isin(query_ids)).collect()
-    if not qrows:
+    qpairs = _query_vec_pairs(base, query_ids, query_vecs)
+    if not qpairs:
         return spark.createDataFrame(
             [], "query_id long, neighbor_id long, cosine double"
         )
     cents = ivf_train_centroids(embeddings, n_centroids, sample_size, id_col, vec_col)
     lists = ivf_assign(embeddings, cents, id_col, vec_col)
-    Q = np.asarray([np.asarray(r["vec"], dtype=np.float64) for r in qrows])
-    qn = np.linalg.norm(Q, axis=1)
-    qn[qn == 0.0] = 1.0
-    probes = np.argsort(-((Q / qn[:, None]) @ cents.T), axis=1)[:, :nprobe]
-    probe_rows = [
-        (int(r["vec_id"]), int(l))
-        for r, ls in zip(qrows, probes) for l in ls
-    ]
-    probe_df = spark.createDataFrame(probe_rows, "query_id long, list_id int")
-    cands = (
-        lists.join(F.broadcast(probe_df), "list_id")
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "vec_id")
-    )
-    # qrows are already on the driver — build the (tiny) query-vector side
-    # from them instead of a second distributed filter-scan of the table
+    if certify:
+        # two consumers below (radius agg + probe joins)
+        lists = tracked_persist(lists)
+    # query vectors are already on the driver — build the (tiny) query
+    # side from them instead of a second distributed filter-scan
     queries = spark.createDataFrame(
-        [(int(r["vec_id"]), list(map(float, r["vec"]))) for r in qrows],
+        [(qid, list(map(float, v))) for qid, v in qpairs],
         "query_id long, qvec array<double>",
     )
-    scored = (
-        cands.join(base, "vec_id")
-        .join(F.broadcast(queries), "query_id")
-        .select("query_id", "vec_id",
-                F.round(_cosine_expr("qvec", "vec"), 4).alias("cosine"))
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= k)
-        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cosine")
-    )
+
+    def topk_df(probe_rows: list[tuple[int, int]]) -> DataFrame:
+        probe_df = spark.createDataFrame(probe_rows, "query_id long, list_id int")
+        cands = (
+            lists.join(F.broadcast(probe_df), "list_id")
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select("query_id", "vec_id")
+        )
+        scored = (
+            cands.join(base, "vec_id")
+            .join(F.broadcast(queries), "query_id")
+            .select("query_id", "vec_id",
+                    F.round(_cosine_expr("qvec", "vec"), 4).alias("cosine"))
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+        return (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .select("query_id", F.col("vec_id").alias("neighbor_id"), "cosine")
+        )
+
+    Q = np.stack([v for _, v in qpairs])
+    qn = np.linalg.norm(Q, axis=1)
+    qn[qn == 0.0] = 1.0
+    aff = (Q / qn[:, None]) @ cents.T            # (n_queries, n_centroids)
+    probes = np.argsort(-aff, axis=1)[:, :nprobe]
+    probe_rows = [
+        (qid, int(l))
+        for (qid, _), ls in zip(qpairs, probes) for l in ls
+    ]
+    if not certify:
+        return topk_df(probe_rows)
+
+    first = topk_df(probe_rows).collect()        # <= len(query_ids)*k rows
+    # per-list angular radius from the min member cosine (empty lists are
+    # simply absent and can never contain a candidate)
+    rad = {
+        int(r["list_id"]): float(np.arccos(np.clip(r["_mc"], -1.0, 1.0)))
+        for r in lists.groupBy("list_id").agg(F.min("cent_cos").alias("_mc")).collect()
+    }
+    kth: dict[int, float] = {}
+    cnt: dict[int, int] = {}
+    for r in first:
+        cnt[r["query_id"]] = cnt.get(r["query_id"], 0) + 1
+        kth[r["query_id"]] = min(kth.get(r["query_id"], 1.0), r["cosine"])
+    extra: list[tuple[int, int]] = []
+    for qi, (qid, _) in enumerate(qpairs):
+        probed = set(int(l) for l in probes[qi])
+        # fewer than k results -> no kth bound yet: probe every list
+        t = kth.get(qid, -2.0) if cnt.get(qid, 0) >= k else -2.0
+        for l, r_l in rad.items():
+            if l in probed:
+                continue
+            ang = float(np.arccos(np.clip(aff[qi, l], -1.0, 1.0)))
+            ub = float(np.cos(max(ang - r_l, 0.0)))
+            if ub >= t - 5e-5:   # rounding slack: output is round(cos, 4)
+                extra.append((qid, l))
+    if not extra:
+        return spark.createDataFrame(
+            [(r["query_id"], r["neighbor_id"], r["cosine"]) for r in first],
+            "query_id long, neighbor_id long, cosine double",
+        )
+    return topk_df(probe_rows + extra)
 
 
 def blocked_all_pairs_cosine(

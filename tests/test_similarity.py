@@ -184,3 +184,79 @@ class TestIVF:
         out = ivf_topk(df, [999_999], k=3, n_centroids=2, nprobe=1)
         assert out.count() == 0
         assert out.columns == ["query_id", "neighbor_id", "cosine"]
+
+
+@pytest.mark.spark
+class TestIvfCertifiedExact:
+    """r3: ivf_topk(certify=True) is exact by construction (ball-tree
+    bound over list angular radii) — verified on the WORST case,
+    unstructured near-orthogonal vectors, where the bound must force
+    re-probes rather than silently losing neighbors."""
+
+    def _unstructured(self, spark, n=300, dim=24, seed=11):
+        rng = np.random.default_rng(seed)
+        vecs = rng.normal(size=(n, dim))
+        rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def test_exact_on_unstructured(self, spark):
+        from frizbee_spark.operators.similarity import brute_force_topk, ivf_topk
+        from frizbee_spark.util import release_tracked
+
+        df = self._unstructured(spark)
+        qids = [0, 50, 150]
+        exact = sorted(map(tuple, brute_force_topk(df, qids, k=5).collect()))
+        got = sorted(map(tuple, ivf_topk(df, qids, k=5, n_centroids=12,
+                                         nprobe=2, certify=True).collect()))
+        release_tracked()
+        assert got == exact
+
+    def test_exact_on_clustered(self, spark, emb):
+        from frizbee_spark.operators.similarity import brute_force_topk, ivf_topk
+        from frizbee_spark.util import release_tracked
+
+        qids = [0, 40, 99]
+        exact = sorted(map(tuple, brute_force_topk(emb, qids, k=5).collect()))
+        got = sorted(map(tuple, ivf_topk(emb, qids, k=5, n_centroids=16,
+                                         nprobe=4, certify=True).collect()))
+        release_tracked()
+        assert got == exact
+
+
+@pytest.mark.spark
+class TestDriverAnnClustered:
+    """The driver ANN queries run over the derived clustered corpus
+    (__spark_entry__._clustered_emb) at a scale-sane config; their
+    brute-force oracles are valid because candidate recall is exactly
+    1.0 there (deterministic hyperplanes) / certification (IVF). Assert
+    the equality at every fixture scale, including sf0.1 (the bench)."""
+
+    @pytest.mark.parametrize("sf_dir", [
+        "/root/testdata/sf0.001", "/root/testdata/sf0.1",
+    ])
+    def test_ann_topk_equals_bruteforce(self, spark, sf_dir):
+        import os
+
+        import __spark_entry__ as E
+        from frizbee_spark.operators.similarity import brute_force_topk
+
+        if not os.path.isdir(sf_dir):
+            pytest.skip(f"{sf_dir} missing")
+        cb = E._clustered_emb(spark, sf_dir)
+        exact = sorted(map(tuple,
+                           brute_force_topk(cb, [0, 1, 2, 3, 4], k=5).collect()))
+        got = sorted(map(tuple, E.q_ann_topk(spark, sf_dir).collect()))
+        assert got == exact
+
+    def test_ivf_topk_equals_bruteforce_sf0001(self, spark):
+        import __spark_entry__ as E
+        from frizbee_spark.operators.similarity import brute_force_topk
+        from frizbee_spark.util import release_tracked
+
+        sf_dir = "/root/testdata/sf0.001"
+        cb = E._clustered_emb(spark, sf_dir)
+        exact = sorted(map(tuple,
+                           brute_force_topk(cb, [5, 6, 7, 8, 9], k=5).collect()))
+        got = sorted(map(tuple, E.q_ivf_topk(spark, sf_dir).collect()))
+        release_tracked()
+        assert got == exact
