@@ -99,6 +99,25 @@ class DedupConfig:
 
 DEFAULT_DEDUP = DedupConfig()
 
+
+def signature_meta(cfg: DedupConfig = DEFAULT_DEDUP) -> dict:
+    """Identity of the signature/band hash family produced by
+    :func:`compute_signatures`. Persisted next to any signature state
+    (pipeline checkpoint, streaming state dir) and checked on resume:
+    signatures from a different family/config are band-INCOMPATIBLE —
+    probing old state with new-family band keys finds zero collisions and
+    cross-batch near-dup recall silently collapses to exact-hash only
+    (r2 advice). Bump ``family`` whenever the kernel's hash derivation
+    changes meaning."""
+    return {
+        "family": "oph-rotation-densified-v1",
+        "seed": 1,                      # compute_signatures' fixed seed
+        "num_perm": cfg.num_perm,
+        "shingle_k": cfg.shingle_k,
+        "bands": cfg.bands,
+        "band_rows": cfg.band_rows,
+    }
+
 _HTML_PREFIX = b"<html><body>"
 _HTML_SUFFIX = b"</body></html>"
 

@@ -53,6 +53,7 @@ from .operators.dedup import (
     compute_signatures,
     extract_text,
     normalize_text,
+    signature_meta,
     unified_candidate_pairs,
     verify_pairs,
     winnow_span_pairs,
@@ -95,17 +96,40 @@ class PipelineConfig:
 
 
 class CheckpointStore:
-    """Parquet-backed stage store (Iceberg-snapshot stand-in, see module doc)."""
+    """Parquet-backed stage store (Iceberg-snapshot stand-in, see module doc).
 
-    def __init__(self, root: str):
+    Plain paths use the local filesystem directly (os + pyarrow footer
+    reads). Any URI workdir (``hdfs://``, ``s3a://``, also ``file://``)
+    routes existence/delete through the Hadoop FileSystem API and skips
+    the driver-side footer reads — r2 advice: ``os.listdir`` on a remote
+    URI crashed metrics recording for exactly the deployments the module
+    docstring contemplates. The ``file://`` scheme deliberately takes the
+    Hadoop branch so the remote code path is exercised by local tests.
+    """
+
+    def __init__(self, root: str, spark: SparkSession | None = None):
+        from urllib.parse import urlparse
+
         self.root = root
-        os.makedirs(root, exist_ok=True)
+        self._spark = spark
+        self.is_local = urlparse(root).scheme == ""
+        if self.is_local:
+            os.makedirs(root, exist_ok=True)
+
+    def _fs(self, path: str):
+        jvm = self._spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        return hpath.getFileSystem(self._spark._jsc.hadoopConfiguration()), hpath
 
     def path(self, stage: str) -> str:
-        return os.path.join(self.root, stage)
+        return os.path.join(self.root, stage)  # posix join; URI-safe here
 
     def is_complete(self, stage: str) -> bool:
-        return os.path.exists(os.path.join(self.path(stage), "_SUCCESS"))
+        marker = os.path.join(self.path(stage), "_SUCCESS")
+        if self.is_local:
+            return os.path.exists(marker)
+        fs, p = self._fs(marker)
+        return bool(fs.exists(p))
 
     def write(self, stage: str, df: DataFrame) -> None:
         df.write.mode("overwrite").parquet(self.path(stage))
@@ -114,14 +138,53 @@ class CheckpointStore:
         return spark.read.parquet(self.path(stage))
 
     def invalidate(self, stage: str) -> None:
-        import shutil
+        if self.is_local:
+            import shutil
 
-        shutil.rmtree(self.path(stage), ignore_errors=True)
+            shutil.rmtree(self.path(stage), ignore_errors=True)
+            return
+        fs, p = self._fs(self.path(stage))
+        if fs.exists(p):
+            fs.delete(p, True)
 
-    def footer_stats(self, stage: str) -> list[tuple[int, int, int]]:
+    def write_text(self, relpath: str, text: str) -> None:
+        p = os.path.join(self.root, relpath)
+        if self.is_local:
+            with open(p, "w") as f:
+                f.write(text)
+            return
+        fs, hp = self._fs(p)
+        out = fs.create(hp, True)
+        out.write(bytearray(text.encode("utf-8")))
+        out.close()
+
+    def read_text(self, relpath: str) -> str | None:
+        p = os.path.join(self.root, relpath)
+        if self.is_local:
+            if not os.path.exists(p):
+                return None
+            with open(p) as f:
+                return f.read()
+        fs, hp = self._fs(p)
+        if not fs.exists(hp):
+            return None
+        stream = fs.open(hp)
+        try:
+            return self._spark._jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            )
+        finally:
+            stream.close()
+
+    def footer_stats(self, stage: str) -> list[tuple[int, int, int]] | None:
         """(part_index, rows, bytes) per part file, from parquet footers —
         driver-side metadata reads, no Spark job. A part file corresponds
-        to one write partition, so this doubles as per-partition lineage."""
+        to one write partition, so this doubles as per-partition lineage.
+        Returns None for URI workdirs (the caller falls back to one
+        Spark-side count; remote footer reads would need pyarrow.fs
+        plumbing that buys nothing here)."""
+        if not self.is_local:
+            return None
         import pyarrow.parquet as pq
 
         out = []
@@ -137,15 +200,25 @@ class NearDupPipeline:
     def __init__(self, spark: SparkSession, cfg: PipelineConfig):
         self.spark = spark
         self.cfg = cfg
-        self.store = CheckpointStore(cfg.workdir)
+        self.store = CheckpointStore(cfg.workdir, spark)
         self._metrics: list[tuple] = []
         self._lineage: list[tuple] = []
 
     # -- bookkeeping --------------------------------------------------------
 
-    def _record_checkpointed(self, stage: str, wall_ms: float, resumed: bool) -> int:
-        """Metrics + per-partition lineage from parquet footers (no jobs)."""
+    def _record_checkpointed(
+        self, stage: str, wall_ms: float, resumed: bool, df: DataFrame | None = None
+    ) -> int:
+        """Metrics + per-partition lineage from parquet footers (no jobs).
+        URI workdirs have no footer access (store.footer_stats -> None):
+        fall back to ONE Spark count of the read-back for the row total
+        and skip per-partition lineage — correct everywhere, costs one
+        metadata-cheap job only on remote deployments (r2 advice)."""
         stats = self.store.footer_stats(stage)
+        if stats is None:
+            total = df.count() if df is not None else -1
+            self._metrics.append((stage, int(total), float(wall_ms), bool(resumed)))
+            return total
         self._lineage.extend((stage, pid, rows) for pid, rows, _ in stats)
         total = sum(rows for _, rows, _ in stats)
         self._metrics.append((stage, int(total), float(wall_ms), bool(resumed)))
@@ -161,7 +234,8 @@ class NearDupPipeline:
         driver — the rows already live driver-side (footer sums), so
         spinning up Spark jobs to write a few hundred rows would put 2-4
         scheduler round-trips on the critical path for nothing. Spark
-        reads the files fine (`metrics()` / `lineage()`)."""
+        reads the files fine (`metrics()` / `lineage()`). URI workdirs
+        append through Spark instead (no local os access there)."""
         import uuid
 
         import pyarrow as pa
@@ -169,6 +243,14 @@ class NearDupPipeline:
 
         def _append(rows, names, subdir):
             d = os.path.join(self.cfg.workdir, subdir)
+            if not self.store.is_local:
+                schema = ", ".join(
+                    f"{n} {'string' if isinstance(rows[0][i], str) else ('boolean' if isinstance(rows[0][i], bool) else ('double' if isinstance(rows[0][i], float) else 'long'))}"
+                    for i, n in enumerate(names)
+                )
+                self.spark.createDataFrame(rows, schema).coalesce(1) \
+                    .write.mode("append").parquet(d)
+                return
             os.makedirs(d, exist_ok=True)
             cols = list(zip(*rows))
             tbl = pa.table({n: list(c) for n, c in zip(names, cols)})
@@ -187,17 +269,47 @@ class NearDupPipeline:
     def lineage(self) -> DataFrame:
         return self.store.read(self.spark, "_lineage")
 
-    def _stage(self, name: str, compute) -> DataFrame:
+    def _stage(self, name: str, compute, meta: dict | None = None) -> DataFrame:
         """Run-or-resume one stage.
 
         Checkpointed stages return the read-back of the materialized
         table; flow-through stages return the lazy plan directly.
+
+        ``meta`` stamps the stage with its producing configuration
+        (``<stage>/_meta.json``, written right after the data — the
+        overwrite wipes the stage dir, so the stamp cannot precede it)
+        and FAILS the resume on mismatch: e.g. signatures from a
+        different hash family/seed produce band keys that never collide
+        with new ones, silently collapsing near-dup recall (r2 advice).
+        A checkpoint with no stamp (pre-stamping workdir, or a crash in
+        the instant between data and stamp) resumes with a warning.
         """
+        import json
+
         if name not in self.cfg.checkpoint_stages:
             self._record_flowthrough(name)
             return compute()
         t0 = time.monotonic()
         resumed = self.cfg.resume and self.store.is_complete(name)
+        if resumed and meta is not None:
+            stored = self.store.read_text(f"{name}/_meta.json")
+            if stored is not None and json.loads(stored) != meta:
+                raise RuntimeError(
+                    f"stage '{name}' checkpoint at {self.store.path(name)} was "
+                    f"written by an incompatible configuration:\n  stored:  "
+                    f"{stored}\n  current: {json.dumps(meta)}\nResuming would "
+                    "silently lose recall (band keys from different hash "
+                    "families never collide). Wipe the stage or restore the "
+                    "original config."
+                )
+            if stored is None:
+                import sys
+
+                print(
+                    f"frizbee: resuming unstamped '{name}' checkpoint "
+                    "(written before config stamping) — cannot verify the "
+                    "signature family matches", file=sys.stderr,
+                )
         if not resumed:
             # job description is a thread-local Spark property, so the
             # concurrent span/check branches label their own jobs — event
@@ -208,8 +320,11 @@ class NearDupPipeline:
                 self.store.write(name, compute())
             finally:
                 sc.setJobDescription(None)
+            if meta is not None:
+                self.store.write_text(f"{name}/_meta.json", json.dumps(meta))
         out = self.store.read(self.spark, name)
-        self._record_checkpointed(name, (time.monotonic() - t0) * 1e3, resumed)
+        self._record_checkpointed(name, (time.monotonic() - t0) * 1e3, resumed,
+                                  df=out)
         return out
 
     # -- stages -------------------------------------------------------------
@@ -382,7 +497,8 @@ class NearDupPipeline:
 
         try:
             signatures = self._stage(
-                "signatures", lambda: compute_signatures(documents, d)
+                "signatures", lambda: compute_signatures(documents, d),
+                meta=signature_meta(d),
             )
             out["signatures"] = signatures
             if until == "signatures":

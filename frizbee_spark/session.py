@@ -12,6 +12,29 @@ from __future__ import annotations
 import os
 
 
+def choose_local_dir(shm: str = "/dev/shm") -> str | None:
+    """Shuffle/spill dir election. /dev/shm is only chosen when it can
+    actually hold a shuffle: containers commonly cap it at 64 MB (Docker
+    default), where the first real spill dies with cryptic no-space-left
+    errors and the RAM-backed files compete with the driver heap for
+    host memory (r2 advice). Floor tunable via SPARK_GRAFT_SHM_MIN_BYTES
+    for deployments with known shuffle volumes; None means "keep Spark's
+    default local dir"."""
+    explicit = os.environ.get("SPARK_LOCAL_DIRS")
+    if explicit is not None:
+        return explicit
+    if not os.path.isdir(shm):
+        return None
+    floor = int(os.environ.get("SPARK_GRAFT_SHM_MIN_BYTES", str(2 << 30)))
+    try:
+        st = os.statvfs(shm)
+    except OSError:
+        return None
+    if st.f_bavail * st.f_frsize < floor:
+        return None
+    return os.path.join(shm, "spark-local")
+
+
 def get_spark(app_name: str = "frizbee-spark", cores: int | None = None, extra: dict | None = None):
     from pyspark.sql import SparkSession
 
@@ -33,9 +56,7 @@ def get_spark(app_name: str = "frizbee-spark", cores: int | None = None, extra: 
     # count, which misrepresents a real cluster where local shuffle SSDs
     # scale per node. Use the RAM-backed /dev/shm when present (standard
     # practice: put spark.local.dir on the fastest local storage).
-    local_dir = os.environ.get("SPARK_LOCAL_DIRS")
-    if local_dir is None and os.path.isdir("/dev/shm"):
-        local_dir = "/dev/shm/spark-local"
+    local_dir = choose_local_dir()
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)

@@ -144,19 +144,50 @@ def make_batch_processor(spark, state_dir: str, cfg: DedupConfig = DEFAULT_DEDUP
     every write is an overwrite of a per-batch subdirectory keyed by the
     stable batch_id, and prior-state reads exclude the current batch.
     """
+    import json
     import os
 
-    from ..operators.dedup import normalize_text, with_doc_id
+    from ..operators.dedup import normalize_text, signature_meta, with_doc_id
 
     sig_path = os.path.join(state_dir, "signatures")
     docs_path = os.path.join(state_dir, "docs")
     edges_path = os.path.join(state_dir, "edges")
+    meta_path = os.path.join(state_dir, "_sigmeta.json")
+
+    def _check_or_stamp_family() -> None:
+        """Persisted signature state carries its hash-family identity; a
+        stream resumed under a different family/config would probe old
+        band keys that never collide with new ones and silently lose all
+        cross-batch near-dup recall — fail loudly instead (r2 advice)."""
+        meta = signature_meta(cfg)
+        if os.path.exists(meta_path):
+            stored = json.load(open(meta_path))
+            if stored != meta:
+                raise RuntimeError(
+                    f"streaming state at {state_dir} was written by an "
+                    f"incompatible signature configuration:\n  stored:  "
+                    f"{json.dumps(stored)}\n  current: {json.dumps(meta)}\n"
+                    "Resuming would silently collapse cross-batch recall "
+                    "to exact-hash only. Wipe the state dir or restore the "
+                    "original config."
+                )
+            return
+        if os.path.isdir(sig_path):
+            import sys
+
+            print(f"frizbee: unstamped streaming state at {state_dir} "
+                  "(written before config stamping) — cannot verify the "
+                  "signature family matches", file=sys.stderr)
+        os.makedirs(state_dir, exist_ok=True)
+        with open(meta_path, "w") as f:
+            json.dump(meta, f)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         from ..util import release_tracked
 
         if batch_df.isEmpty():
             return
+        _check_or_stamp_family()
         try:
             _process_batch_inner(batch_df, batch_id)
         finally:
