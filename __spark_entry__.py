@@ -426,6 +426,16 @@ def q_span_exact_pairs(spark, sf_dir):
     )
 
 
+def q_span_extents(spark, sf_dir):
+    """Shared-boilerplate block report: each confirmed span pair's witness
+    gram extended to its maximal byte-identical extent (offsets + length).
+    Oracle: sql_oracles.span_extents_sql — the full witness-selection +
+    binary-search-extension semantics re-derived in SQL."""
+    from frizbee_spark.operators.dedup import span_extents
+
+    return span_extents(_norm_docs(spark, sf_dir), _dedup_cfg()).orderBy("a", "b")
+
+
 def q_fuzzy_match(spark, sf_dir):
     """Needle search over documents. The typo budget is non-binding
     (= needle length, the traceback's upper bound), so no row is ever
@@ -465,6 +475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "winnow_span_pairs": q_winnow_span_pairs,
         "span_exact_pairs": q_span_exact_pairs,
+        "span_extents": q_span_extents,
         "fuzzy_match": q_fuzzy_match,
     }
 
@@ -747,6 +758,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_candidates": _sql_oracles().minhash_lsh_sql(_dedup_cfg()),
         "simhash_pairs": _sql_oracles().simhash_pairs_sql(_dedup_cfg()),
         "winnow_span_pairs": _sql_oracles().winnow_span_sql(_dedup_cfg()),
+        "span_extents": _sql_oracles().span_extents_sql(_dedup_cfg()),
         "sw_verified_pairs": _sql_oracles().sw_verified_pairs_sql(_dedup_cfg()),
         "dedup_clusters": _sql_oracles().dedup_clusters_sql(_dedup_cfg()),
         "fuzzy_match": _sql_oracles().fuzzy_match_sql(FUZZY_NEEDLE, limit=100),

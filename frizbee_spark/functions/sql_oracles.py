@@ -180,18 +180,29 @@ bkey AS (
 )"""
 
 
-def _pairs_cte(bucket_cte: str, key_cols: str, cfg: DedupConfig) -> str:
+def _pairs_cte(bucket_cte: str, key_cols: str, cfg: DedupConfig,
+               payload: str | None = None) -> str:
     """Bucket -> candidate pairs, mirroring pairs_from_buckets: all pairs
     for buckets of size <= dense_cap, chain + star-from-first edges for
-    bigger buckets (connectivity-preserving linear edge count)."""
+    bigger buckets (connectivity-preserving linear edge count). With
+    ``payload`` (a column of ``bucket_cte``) each pair row also carries
+    both members' payload values as pa/pb — the twin of the kernel's
+    payload gather (same row identity, same a<b orientation: buckets are
+    enumerated in ascending doc_id order on both sides)."""
+    pay_sel = f", {payload}" if payload else ""
+    pay_dense = f", x.{payload} AS pa, y.{payload} AS pb" if payload else ""
+    pay_big = (f", {payload} AS pl, lead({payload}) OVER w AS nxtpl,"
+               f" first_value({payload}) OVER w AS fstpl" if payload else "")
+    pay_chain = ", pl AS pa, nxtpl AS pb" if payload else ""
+    pay_star = ", fstpl AS pa, pl AS pb" if payload else ""
     return f"""
 szd AS (
-    SELECT {key_cols}, doc_id,
+    SELECT {key_cols}, doc_id{pay_sel},
            count(*) OVER (PARTITION BY {key_cols}) AS n
     FROM {bucket_cte}
 ),
 dense AS (
-    SELECT x.doc_id AS a, y.doc_id AS b
+    SELECT x.doc_id AS a, y.doc_id AS b{pay_dense}
     FROM szd x JOIN szd y USING ({key_cols})
     WHERE x.n <= {cfg.dense_cap} AND x.doc_id < y.doc_id
 ),
@@ -199,14 +210,14 @@ big AS (
     SELECT doc_id,
            row_number() OVER w AS rn,
            lead(doc_id) OVER w AS nxt,
-           first_value(doc_id) OVER w AS fst
+           first_value(doc_id) OVER w AS fst{pay_big}
     FROM szd WHERE n > {cfg.dense_cap}
     WINDOW w AS (PARTITION BY {key_cols} ORDER BY doc_id)
 ),
 allp AS (
-    SELECT a, b FROM dense
-    UNION ALL SELECT doc_id AS a, nxt AS b FROM big WHERE nxt IS NOT NULL
-    UNION ALL SELECT fst AS a, doc_id AS b FROM big WHERE rn >= 3
+    SELECT * FROM dense
+    UNION ALL SELECT doc_id AS a, nxt AS b{pay_chain} FROM big WHERE nxt IS NOT NULL
+    UNION ALL SELECT fst AS a, doc_id AS b{pay_star} FROM big WHERE rn >= 3
 )"""
 
 
@@ -322,6 +333,102 @@ SELECT s.a, s.b, s.shared_fps,
        ) AS span_confirmed
 FROM shared s
 ORDER BY s.a, s.b""")
+
+
+def span_extents_sql(cfg: DedupConfig = DEFAULT_DEDUP) -> str:
+    """SQL oracle for ``span_extents(normalize_text(documents), cfg)`` —
+    output columns (a, b, a_start, b_start, span_len).
+
+    Witness semantics replicated from the kernel chain: a (doc, value)
+    fingerprint's position is the first shingle position at-or-after the
+    earliest valid window whose min is that value (winnow_fingerprints
+    keeps the first in-window occurrence per kept window, then the
+    per-(doc,value) minimum); pair positions ride the bucket pairing as
+    payloads (kernel ``payload=`` path, here the _pairs_cte payload
+    twin); the pair's witness is the lexicographic minimum (pos_a, pos_b)
+    over its shared-fingerprint rows (packed into one BIGINT for the
+    min). Extents are the max prefix-equal d on each side — a monotone
+    predicate, so ``max(d) WHERE substr equal`` is exact. Positions are
+    1-based here, 0-based bytes in Spark; fixture text is ASCII so char
+    arithmetic equals byte arithmetic (same scoping note as
+    fuzzy_match_sql).
+    """
+    k, win = cfg.span_shingle_k, cfg.winnow_window
+    pack = 1 << 32
+    return _materialize(f"""
+WITH nd AS (
+    SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS nt
+    FROM documents
+),
+spanwork AS (
+    SELECT doc_id, nt FROM nd WHERE octet_length(encode(nt)) >= {cfg.span_min_len}
+),
+shp AS (
+    SELECT doc_id, i AS pos,
+           count(*) OVER (PARTITION BY doc_id) AS c,
+           {_sm64_cols(f'(({_gram_terms(k)}) % {_M})::UBIGINT', 'sh', 'z')}
+    FROM spanwork, unnest(generate_series(1, length(nt) - {k - 1})) AS t(i)
+),
+wm AS (
+    SELECT doc_id, pos, c,
+           min(sh) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND {win - 1} FOLLOWING
+           ) AS fpv
+    FROM shp
+),
+w0 AS (
+    SELECT doc_id, fpv, min(pos) AS w0
+    FROM wm WHERE pos <= greatest(c - {win} + 1, 1)
+    GROUP BY 1, 2
+),
+fps AS (
+    SELECT w.doc_id, w.fpv, min(s.pos) AS pos
+    FROM w0 w JOIN shp s
+      ON s.doc_id = w.doc_id AND s.sh = w.fpv AND s.pos >= w.w0
+    GROUP BY 1, 2
+),
+{_pairs_cte('fps', 'fpv', cfg, payload='pos').lstrip()},
+shared AS (
+    SELECT a, b, min(pa * {pack} + pb) AS wkey
+    FROM allp GROUP BY 1, 2
+    HAVING count(*) >= {cfg.span_min_shared}
+),
+conf AS (
+    SELECT s.a, s.b,
+           (s.wkey // {pack}) AS pa, (s.wkey % {pack}) AS pb,
+           ta.nt AS ta, tb.nt AS tb
+    FROM shared s
+    JOIN spanwork ta ON ta.doc_id = s.a
+    JOIN spanwork tb ON tb.doc_id = s.b
+    WHERE substr(ta.nt, (s.wkey // {pack})::INT, {k})
+        = substr(tb.nt, (s.wkey % {pack})::INT, {k})
+),
+-- DuckDB's generate_series cannot take correlated bounds, so the
+-- candidate extension lengths come from one uncorrelated series sized
+-- by the longest span-eligible doc, range-filtered per pair
+dser AS (
+    SELECT i AS d
+    FROM unnest(generate_series(
+        1, (SELECT greatest(max(length(nt)), 1) FROM spanwork))) AS t(i)
+),
+ext AS (
+    SELECT a, b, pa, pb,
+           coalesce((SELECT max(d) FROM dser
+                     WHERE d <= least(pa, pb) - 1
+                       AND substr(ta, (pa - d)::INT, d::INT)
+                         = substr(tb, (pb - d)::INT, d::INT)), 0) AS lft,
+           coalesce((SELECT max(d) FROM dser
+                     WHERE d <= least(length(ta) - pa, length(tb) - pb) - {k} + 1
+                       AND substr(ta, (pa + {k})::INT, d::INT)
+                         = substr(tb, (pb + {k})::INT, d::INT)), 0) AS rgt
+    FROM conf
+)
+SELECT a, b,
+       (pa - 1 - lft)::BIGINT AS a_start,
+       (pb - 1 - lft)::BIGINT AS b_start,
+       (lft + {k} + rgt)::BIGINT AS span_len
+FROM ext ORDER BY a, b""")
 
 
 def _delims_sql(scoring: Scoring) -> str:

@@ -639,6 +639,7 @@ def winnow_span_pairs(
     docs: DataFrame, cfg: DedupConfig = DEFAULT_DEDUP,
     id_col: str = "doc_id", text_col: str = "norm_text",
     confirm: bool = True,
+    keep_witness: bool = False,
 ) -> DataFrame:
     """Long-exact-span candidate pairs via winnowing fingerprints.
 
@@ -666,6 +667,11 @@ def winnow_span_pairs(
     clustering: a shared boilerplate block does not make two documents
     near-duplicates (verify_pairs would correctly score them below the
     similarity threshold anyway).
+
+    With ``keep_witness`` (requires ``confirm``) the output additionally
+    carries the witness gram's 0-based byte offsets ``a_off``/``b_off``
+    — the anchor :func:`span_extents` extends into the full shared-block
+    report.
     """
     k, win = cfg.span_shingle_k, cfg.winnow_window
     work = docs.filter(F.octet_length(F.col(text_col)) >= cfg.span_min_len).select(
@@ -716,17 +722,112 @@ def winnow_span_pairs(
         (F.col("_w.payload_a") + 1).alias("_pa"),
         (F.col("_w.payload_b") + 1).alias("_pb"),
     )
+    witness_cols = (
+        [(F.col("_pa") - 1).alias("a_off"), (F.col("_pb") - 1).alias("b_off")]
+        if keep_witness else []
+    )
     return (
         wit.join(d.withColumnsRenamed({"doc_id": "a", "_t": "_ta"}), "a")
         .withColumn("_ga", F.col("_ta").substr(F.col("_pa"), F.lit(k)))
-        .drop("_ta", "_pa")
+        .drop("_ta")
         .join(d.withColumnsRenamed({"doc_id": "b", "_t": "_tb"}), "b")
         .withColumn("_gb", F.col("_tb").substr(F.col("_pb"), F.lit(k)))
-        .drop("_tb", "_pb")
+        .drop("_tb")
         .select(
             "a", "b", "shared_fps",
             (F.col("_ga") == F.col("_gb")).alias("span_confirmed"),
+            *witness_cols,
         )
+    )
+
+
+def _binsearch_max_d(df: DataFrame, hi_col, cond_of_mid, out_col: str,
+                     rounds: int = 21) -> DataFrame:
+    """max d in [0, hi] such that the monotone predicate cond_of_mid(d)
+    holds (cond(0) is vacuously true), as ``rounds`` unrolled binary-
+    search steps of pure Catalyst columns — no UDF, no per-row Python.
+    21 rounds resolve ranges up to 2M (far above any document length
+    the span pass admits)."""
+    df = df.withColumn("_lo", F.lit(0).cast("long")).withColumn(
+        "_hi", hi_col.cast("long"))
+    for _ in range(rounds):
+        active = F.col("_lo") < F.col("_hi")
+        mid = F.floor((F.col("_lo") + F.col("_hi") + 1) / 2).cast("long")
+        ok = cond_of_mid(mid)
+        df = (
+            df.withColumn("_nlo", F.when(active & ok, mid).otherwise(F.col("_lo")))
+            .withColumn("_nhi",
+                        F.when(active & ~ok, mid - 1).otherwise(F.col("_hi")))
+            .drop("_lo", "_hi")
+            .withColumnsRenamed({"_nlo": "_lo", "_nhi": "_hi"})
+        )
+    return df.withColumn(out_col, F.col("_lo")).drop("_lo", "_hi")
+
+
+def span_extents(
+    docs: DataFrame,
+    cfg: DedupConfig = DEFAULT_DEDUP,
+    id_col: str = "doc_id",
+    text_col: str = "norm_text",
+    span_pairs: DataFrame | None = None,
+) -> DataFrame:
+    """Shared-boilerplate block report: extend each confirmed span pair's
+    witness gram to its maximal byte-identical extent in both documents.
+
+    Output: (a, b, a_start, b_start, span_len) — 0-based byte offsets
+    into each doc's normalized text and the length of the shared block
+    containing the witness (>= span_shingle_k by construction; the block
+    is maximal around the deterministic witness, i.e. a certified "these
+    N bytes are byte-identical between the two pages" claim — the
+    canonical boilerplate-extraction deliverable).
+
+    Plan shape: the pair table (small) broadcast-joins the corpus text
+    twice, then the left/right extensions run as two unrolled JVM binary
+    searches over substring equality (:func:`_binsearch_max_d`) — O(log
+    span) substring compares per pair, zero Python in the loop, no text
+    shuffle beyond the pair lookup (the same discipline as the winnow
+    confirm pass). The monotone predicate ("the d bytes before/after the
+    witness match") makes binary search exact.
+    """
+    if span_pairs is None:
+        span_pairs = winnow_span_pairs(docs, cfg, id_col, text_col,
+                                       keep_witness=True)
+    k = cfg.span_shingle_k
+    pairs = span_pairs.filter("span_confirmed").select("a", "b", "a_off", "b_off")
+    d = docs.select(F.col(id_col).alias("doc_id"),
+                    F.encode(F.col(text_col), "utf-8").alias("_t"))
+    j = (
+        pairs.join(d.withColumnsRenamed({"doc_id": "a", "_t": "_ta"}), "a")
+        .join(d.withColumnsRenamed({"doc_id": "b", "_t": "_tb"}), "b")
+        .withColumn("_la", F.octet_length("_ta"))
+        .withColumn("_lb", F.octet_length("_tb"))
+    )
+
+    def left_cond(mid):
+        return (
+            F.substring(F.col("_ta"), F.col("a_off") - mid + 1, mid)
+            == F.substring(F.col("_tb"), F.col("b_off") - mid + 1, mid)
+        )
+
+    def right_cond(mid):
+        return (
+            F.substring(F.col("_ta"), F.col("a_off") + k + 1, mid)
+            == F.substring(F.col("_tb"), F.col("b_off") + k + 1, mid)
+        )
+
+    j = _binsearch_max_d(j, F.least("a_off", "b_off"), left_cond, "_left")
+    j = _binsearch_max_d(
+        j,
+        F.least(F.col("_la") - F.col("a_off"), F.col("_lb") - F.col("b_off"))
+        - k,
+        right_cond,
+        "_right",
+    )
+    return j.select(
+        "a", "b",
+        (F.col("a_off") - F.col("_left")).alias("a_start"),
+        (F.col("b_off") - F.col("_left")).alias("b_start"),
+        (F.col("_left") + k + F.col("_right")).alias("span_len"),
     )
 
 

@@ -54,6 +54,7 @@ from .operators.dedup import (
     extract_text,
     normalize_text,
     signature_meta,
+    span_extents,
     unified_candidate_pairs,
     verify_pairs,
     winnow_span_pairs,
@@ -61,7 +62,7 @@ from .operators.dedup import (
 )
 
 STAGES = (
-    "documents", "signatures", "candidates", "span_pairs",
+    "documents", "signatures", "candidates", "span_pairs", "span_report",
     "verified", "edges", "clusters", "canonical",
 )
 
@@ -69,7 +70,8 @@ STAGES = (
 # them through keeps candidate generation + verification one Spark query
 # (AQE plans the joins end-to-end) instead of three serialized jobs
 DEFAULT_CHECKPOINTS = (
-    "documents", "signatures", "span_pairs", "verified", "clusters", "canonical",
+    "documents", "signatures", "span_pairs", "span_report", "verified",
+    "clusters", "canonical",
 )
 
 
@@ -475,7 +477,8 @@ class NearDupPipeline:
 
             pool = concurrent.futures.ThreadPoolExecutor(1)
             span_future = pool.submit(
-                self._stage, "span_pairs", lambda: winnow_span_pairs(documents, d)
+                self._stage, "span_pairs",
+                lambda: winnow_span_pairs(documents, d, keep_witness=True),
             )
 
         def _join_span():
@@ -520,7 +523,8 @@ class NearDupPipeline:
 
             if cfg.enable_span and span_future is None:
                 out["span_pairs"] = self._stage(
-                    "span_pairs", lambda: winnow_span_pairs(documents, d)
+                    "span_pairs",
+                    lambda: winnow_span_pairs(documents, d, keep_witness=True),
                 )
             if until == "span_pairs":
                 _join_check()
@@ -546,6 +550,23 @@ class NearDupPipeline:
                 check_pool.shutdown(wait=False)
         _join_check()
         if until == "verified":
+            self.flush_metrics()
+            return out
+
+        # span_report: the shared-boilerplate block deliverable — witness
+        # grams of confirmed span pairs extended to maximal byte-identical
+        # extents (offsets + length per pair). Stays OUT of clustering,
+        # like span_pairs itself.
+        if cfg.enable_span and "span_pairs" in out:
+            sp = out["span_pairs"]
+            if "a_off" not in sp.columns:
+                # resumed from a pre-witness span_pairs checkpoint
+                sp = winnow_span_pairs(documents, d, keep_witness=True)
+            out["span_report"] = self._stage(
+                "span_report",
+                lambda: span_extents(documents, d, span_pairs=sp),
+            )
+        if until == "span_report":
             self.flush_metrics()
             return out
 

@@ -362,3 +362,42 @@ class TestSimhashChunkKeys:
         )
         got = {(r["a"], r["b"]) for r in simhash_pairs(sigs).collect()}
         assert (1, 2) in got
+
+
+@pytest.mark.spark
+class TestSpanExtents:
+    """r3: the shared-boilerplate block report (witness gram extended to
+    its maximal byte-identical extent, JVM binary search)."""
+
+    def test_planted_block_offsets_exact(self, spark):
+        from frizbee_spark.operators.dedup import (
+            DedupConfig, normalize_text, span_extents,
+        )
+
+        block = ("quick brown foxes jump over lazy dogs tonight " * 8).strip()
+        ta = "alpha beta gamma delta " * 4 + block + " omega psi chi phi"
+        tb = "one two three four five " * 4 + block + " nine eight seven"
+        docs = normalize_text(spark.createDataFrame(
+            [(1, ta), (2, tb)], "doc_id long, text string"
+        ))
+        cfg = DedupConfig(span_min_len=100, span_shingle_k=24, winnow_window=8)
+        [row] = span_extents(docs, cfg).collect()
+        nt = {r["doc_id"]: r["norm_text"] for r in docs.collect()}
+        exp = " " + block + " "  # both flanking spaces are shared too
+        assert row["span_len"] == len(exp)
+        a0, b0, ln = row["a_start"], row["b_start"], row["span_len"]
+        assert nt[1][a0:a0 + ln] == exp
+        assert nt[2][b0:b0 + ln] == exp
+        # maximality: the bytes just outside the block differ
+        assert nt[1][a0 - 1] != nt[2][b0 - 1]
+        assert nt[1][a0 + ln] != nt[2][b0 + ln]
+
+    def test_pipeline_span_report_on_corpus(self, result):
+        _, out, _ = result
+        rep = out["span_report"].toPandas()
+        assert len(rep) > 5
+        # every reported block contains at least the witness gram
+        assert (rep["span_len"] >= 48).all()
+        # the corpus's span class copies >= ~2000-char spans: the report
+        # must recover at least one long block
+        assert rep["span_len"].max() >= 1500
