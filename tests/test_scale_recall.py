@@ -1,0 +1,130 @@
+"""Scale-shaped recall guarantees (VERDICT r2 items 5 and 10):
+
+- typo-budget parity fuzz: the batched wavefront's typo counts equal the
+  scalar oracle's on 1k seeded random pairs, hence the budget filter
+  keeps identical sets under EVERY max_typos — the tie-break-order claim
+  at wavefront.py:_typos_batch is load-bearing for recall parity with
+  the reference (typos.rs:59-76);
+- giant-dup-family connectivity at 400k docs: a planted 10k-member
+  exact+near family must land in ONE cluster end-to-end (signatures ->
+  salted chain/star candidate generation -> degree cap -> gated SW
+  verify -> connected components). The linear-edges + degree_cap=16
+  connectivity argument at dedup.py was previously proved only at small
+  scale.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from frizbee_spark.functions.oracle import smith_waterman, typos_from_score_matrix
+from frizbee_spark.functions.wavefront import sw_batch
+
+
+def _fuzz_pairs(rng, n_cases):
+    """Needle/haystack pairs with planted near-matches (mutated needle
+    embedded) so typo counts span 0..len instead of saturating."""
+    alphabet = np.frombuffer(b"abcdeAB _-/.,:xyz", dtype=np.uint8)
+    needles, haystacks = [], []
+    for _ in range(n_cases):
+        nlen = int(rng.integers(1, 13))
+        needle = bytes(rng.choice(alphabet, size=nlen))
+        mode = rng.random()
+        if mode < 0.45:
+            # mutate the needle with 0..nlen edits, embed in noise
+            m = bytearray(needle)
+            for _ in range(int(rng.integers(0, nlen + 1))):
+                op = rng.random()
+                pos = int(rng.integers(0, max(len(m), 1)))
+                if op < 0.4 and m:
+                    m[pos] = int(rng.choice(alphabet))
+                elif op < 0.7 and len(m) > 1:
+                    del m[pos]
+                else:
+                    m.insert(pos, int(rng.choice(alphabet)))
+            pre = bytes(rng.choice(alphabet, size=int(rng.integers(0, 8))))
+            suf = bytes(rng.choice(alphabet, size=int(rng.integers(0, 8))))
+            hay = pre + bytes(m) + suf
+        elif mode < 0.55:
+            hay = needle  # exact
+        else:
+            hay = bytes(rng.choice(alphabet, size=int(rng.integers(1, 40))))
+        needles.append(needle)
+        haystacks.append(hay if hay else b"x")
+    return needles, haystacks
+
+
+@pytest.mark.parametrize("seed", [101, 202])
+def test_typo_budget_parity_fuzz(seed):
+    rng = np.random.default_rng(seed)
+    needles, haystacks = _fuzz_pairs(rng, 500)
+    scores, typos, exact = sw_batch(needles, haystacks, compute_typos=True)
+    o_scores = np.empty(len(needles), dtype=np.int64)
+    o_typos = np.empty(len(needles), dtype=np.int64)
+    for i, (n, h) in enumerate(zip(needles, haystacks)):
+        s, M, ex = smith_waterman(n, h)
+        o_scores[i] = s
+        o_typos[i] = typos_from_score_matrix(M)
+        assert bool(exact[i]) == ex, (i, n, h)
+    assert (scores == o_scores).all(), np.flatnonzero(scores != o_scores)[:5]
+    assert (typos == o_typos).all(), np.flatnonzero(typos != o_typos)[:5]
+    # hence the budget filter keeps identical sets for EVERY budget
+    for k in range(0, 13):
+        assert ((typos <= k) == (o_typos <= k)).all()
+    # the fuzz is non-degenerate: typo counts actually vary
+    assert len(np.unique(typos)) >= 5
+
+
+N_DOCS = 400_000
+FAMILY = 10_000
+NEAR = 1_000  # of which this many carry 1-word edits (rest exact copies)
+
+
+@pytest.mark.spark
+def test_giant_family_one_cluster_at_400k(spark):
+    from frizbee_spark.operators.components import assign_clusters
+    from frizbee_spark.operators.dedup import (
+        DEFAULT_DEDUP, compute_signatures, unified_candidate_pairs,
+        verify_pairs,
+    )
+
+    base_words = [f"word{j:03d}x" for j in range(40)]
+    base = " ".join(base_words)                      # ~360 chars
+    pre = " ".join(base_words[:20]) + " "
+    suf = " " + " ".join(base_words[21:])
+    docs = spark.range(N_DOCS).select(
+        F.col("id").alias("doc_id"),
+        F.when(
+            F.col("id") < NEAR,  # near members: one word replaced
+            F.concat(F.lit(pre),
+                     F.substring(F.md5(F.col("id").cast("string")), 1, 8),
+                     F.lit(suf)),
+        ).when(F.col("id") < FAMILY, F.lit(base))     # exact members
+        .otherwise(                                   # unique background
+            F.concat_ws(" ", *[
+                F.md5(F.concat(F.col("id").cast("string"), F.lit(f"#{t}")))
+                for t in range(6)
+            ])
+        ).alias("norm_text"),
+    )
+    cfg = DEFAULT_DEDUP  # degree_cap=16, salt_threshold=5000, dense_cap=32
+    sigs = compute_signatures(docs, cfg)
+    cands = unified_candidate_pairs(sigs, cfg)        # simhash source ON
+    verified = verify_pairs(cands, docs, cfg, signatures=sigs)
+    edges = verified.filter("verified").select("a", "b")
+    clus = assign_clusters(docs, edges)
+
+    fam = clus.filter(F.col("doc_id") < FAMILY)
+    fam_clusters = [r["cluster_id"] for r in
+                    fam.select("cluster_id").distinct().collect()]
+    assert len(fam_clusters) == 1, (
+        f"family split into {len(fam_clusters)} clusters — chain/star/salt "
+        f"+ degree_cap broke connectivity at scale"
+    )
+    assert fam.count() == FAMILY
+    # precision: the family cluster contains ONLY family members
+    in_cluster = clus.filter(F.col("cluster_id") == fam_clusters[0]).count()
+    assert in_cluster == FAMILY
+    from frizbee_spark.util import release_tracked
+
+    release_tracked()
