@@ -192,6 +192,21 @@ invocation's host grant capped perfect cache-resident code at
         existing = existing.rstrip() + "\n\n" + section
     open(path, "w").write(existing)
 
+    # CI guardrail (r2 item 9): a scaling regression must FAIL the
+    # harness, not just update prose. The engine cannot out-scale the
+    # host: the floor is the north-rule 0.8 target, softened to 95% of
+    # the same-window DRAM ceiling when THIS window's host grant already
+    # caps memory-bound code below 0.8/0.95 — the honest bound for
+    # DRAM-heavy stages on an overcommitted VM.
+    floor = min(0.8, 0.95 * bw_ceiling)
+    if eff < floor:
+        print(
+            f"SCALING GUARD FAILED: efficiency {eff:.3f} < floor "
+            f"{floor:.3f} (= min(0.8, 0.95 * DRAM ceiling {bw_ceiling:.3f}))",
+            file=sys.stderr,
+        )
+        sys.exit(1)
+
 
 if __name__ == "__main__":
     main()
