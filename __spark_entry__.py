@@ -155,6 +155,59 @@ def q_canonical_docs(spark, sf_dir):
     )
 
 
+def q_cluster_stats(spark, sf_dir):
+    """Per-cluster rollup report (size, total chars, language spread) —
+    the dedup-reduction accounting a curation run ships with its output."""
+    from frizbee_spark.operators.components import assign_clusters
+
+    docs, edges = _near_dup_edges(spark, sf_dir)
+    clus = assign_clusters(docs, edges)
+    joined = clus.join(docs.select("doc_id", "n_chars", "lang"), "doc_id")
+    return joined.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size"),
+        F.sum("n_chars").alias("total_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+    ).orderBy("cluster_id")
+
+
+CONTAM_K = 8          # decontamination gram width (tokens)
+CONTAM_BENCH_MOD = 10  # benchmark set = doc_id % 10 == 0
+
+
+def q_ngram_contamination(spark, sf_dir):
+    """Benchmark decontamination over the documents table: the held-out
+    'benchmark' is every 10th doc; corpus docs sharing any 8-token gram
+    with it are flagged. The benchmark gram set is broadcast — the
+    scale-correct plan when |benchmark| << |corpus|."""
+    from frizbee_spark.operators.textstats import ngram_contamination
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % CONTAM_BENCH_MOD == 0)
+    corpus = docs.filter(F.col("doc_id") % CONTAM_BENCH_MOD != 0)
+    return ngram_contamination(corpus, bench, k=CONTAM_K).orderBy("doc_id")
+
+
+def q_dup_chunks(spark, sf_dir):
+    """Chunk-level exact dedup (paragraph-dedup analog): 16-token
+    non-overlapping chunks occurring in more than one doc."""
+    from frizbee_spark.operators.textstats import dup_chunks
+
+    return dup_chunks(_docs(spark, sf_dir), chunk_tokens=16).orderBy("chunk_md5")
+
+
+def q_minhash_jaccard_est(spark, sf_dir):
+    """OPH slot-agreement Jaccard estimates for the LSH candidate pairs —
+    signature-only similarity triage (no text read). Oracle: the pure-SQL
+    OPH re-derivation extended with a per-pair slot-equality count."""
+    from frizbee_spark.operators.dedup import (
+        compute_signatures, minhash_jaccard_estimate,
+    )
+
+    cfg = _dedup_cfg()
+    sigs = compute_signatures(_norm_docs(spark, sf_dir), cfg, keep_minhash=True)
+    return minhash_jaccard_estimate(sigs, cfg).orderBy("a", "b")
+
+
 def q_token_stats(spark, sf_dir):
     from frizbee_spark.operators.textstats import token_stats
 
@@ -458,6 +511,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shingle_jaccard_pairs": q_shingle_jaccard_pairs,
         "near_dup_clusters": q_near_dup_clusters,
         "canonical_docs": q_canonical_docs,
+        "cluster_stats": q_cluster_stats,
+        "ngram_contamination": q_ngram_contamination,
+        "dup_chunks": q_dup_chunks,
+        "minhash_jaccard_est": q_minhash_jaccard_est,
         "token_stats": q_token_stats,
         "bpe_token_stats": q_bpe_token_stats,
         "quality_score": q_quality_score,
@@ -617,6 +674,58 @@ def oracle_sql() -> dict[str, str]:
             SELECT cluster_id, doc_id AS rep_doc_id, cluster_size
             FROM joined WHERE rn = 1
         """,
+        "cluster_stats": f"""
+            WITH RECURSIVE {_CLUSTER_CTE.lstrip()}
+            SELECT c.cluster_id,
+                   count(*) AS cluster_size,
+                   sum(d.n_chars)::BIGINT AS total_chars,
+                   count(DISTINCT d.lang) AS n_langs
+            FROM clusters c JOIN documents d ON c.doc_id = d.doc_id
+            GROUP BY 1
+        """,
+        "ngram_contamination": f"""
+            WITH toks AS (
+                SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+            ),
+            g AS (
+                SELECT DISTINCT doc_id,
+                       concat_ws(' ', {", ".join(f"w[i+{j}]" for j in range(CONTAM_K))}) AS gr
+                FROM toks,
+                     unnest(generate_series(1, greatest(len(w) - {CONTAM_K - 1}, 1))) AS t(i)
+            ),
+            bench AS (
+                SELECT DISTINCT gr FROM g WHERE doc_id % {CONTAM_BENCH_MOD} = 0
+            ),
+            perdoc AS (
+                SELECT g.doc_id, count(*) AS n_grams,
+                       count(b.gr) AS n_contaminated_grams
+                FROM g LEFT JOIN bench b ON g.gr = b.gr
+                WHERE g.doc_id % {CONTAM_BENCH_MOD} != 0
+                GROUP BY 1
+            )
+            SELECT doc_id, n_grams, n_contaminated_grams,
+                   round(n_contaminated_grams * 1.0 / n_grams, 4)
+                       AS contamination_ratio
+            FROM perdoc WHERE n_contaminated_grams > 0
+        """,
+        "dup_chunks": """
+            WITH toks AS (
+                SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+            ),
+            ch AS (
+                SELECT doc_id,
+                       md5(array_to_string(list_slice(w, (c-1)*16 + 1, c*16), ' '))
+                           AS chunk_md5
+                FROM toks, unnest(generate_series(1, len(w) // 16)) AS t(c)
+            )
+            SELECT chunk_md5,
+                   count(DISTINCT doc_id) AS n_docs,
+                   count(*) AS n_occurrences,
+                   min(doc_id) AS rep_doc_id
+            FROM ch GROUP BY 1 HAVING count(DISTINCT doc_id) > 1
+        """,
+        "minhash_jaccard_est": _sql_oracles().minhash_jaccard_estimate_sql(
+            _dedup_cfg()),
         "token_stats": """
             WITH t AS (SELECT doc_id, trim(text) AS tt,
                               string_split(trim(text), ' ') AS w

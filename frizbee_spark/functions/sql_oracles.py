@@ -230,6 +230,29 @@ def minhash_lsh_sql(cfg: DedupConfig = DEFAULT_DEDUP) -> str:
         + "\nSELECT DISTINCT a, b FROM allp ORDER BY a, b")
 
 
+def minhash_jaccard_estimate_sql(cfg: DedupConfig = DEFAULT_DEDUP) -> str:
+    """SQL oracle for ``minhash_jaccard_estimate(compute_signatures(
+    normalize_text(documents), keep_minhash=True))`` — output columns
+    (a, b, est_jaccard). Reuses the OPH derivation's ``slots`` CTE (one
+    row per (doc_id, bin)); agreement is a per-pair equality count over
+    the 128 bins, divided by num_perm."""
+    return _materialize(
+        f"WITH {_shingle_cte(cfg)}, {_oph_band_cte(cfg)}, "
+        + _pairs_cte("bkey", "band_id, band_key", cfg)
+        + f""",
+p AS (SELECT DISTINCT a, b FROM allp),
+agree AS (
+    SELECT p.a, p.b,
+           sum(CASE WHEN sa.slot = sb.slot THEN 1 ELSE 0 END) AS eq
+    FROM p
+    JOIN slots sa ON sa.doc_id = p.a
+    JOIN slots sb ON sb.doc_id = p.b AND sb.bin = sa.bin
+    GROUP BY 1, 2
+)
+SELECT a, b, round(eq * 1.0 / {cfg.num_perm}, 4) AS est_jaccard
+FROM agree ORDER BY a, b""")
+
+
 def simhash_cte(cfg: DedupConfig) -> str:
     """64-bit SimHash per doc from per-bit shingle-hash majorities."""
     return f"""

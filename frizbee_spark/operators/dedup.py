@@ -462,6 +462,41 @@ def lsh_band_pairs(signatures: DataFrame, cfg: DedupConfig = DEFAULT_DEDUP) -> D
     return pairs_from_buckets(b, ["band_id", "band_key"], cfg)
 
 
+def minhash_jaccard_estimate(
+    signatures: DataFrame, cfg: DedupConfig = DEFAULT_DEDUP
+) -> DataFrame:
+    """Estimated Jaccard per LSH candidate pair from OPH slot agreement —
+    rank/triage candidates WITHOUT touching text (the signature table is
+    ~1 KB/doc vs the corpus's ~50 KB/doc, so at 100 TB this stage reads
+    ~2% of the bytes the exact-Jaccard join would).
+
+    Estimator: fraction of equal densified OPH slots, unbiased for
+    Jaccard (Li et al., NIPS'12 one-permutation hashing; Shrivastava &
+    Li, ICML'14 densification). ``signatures`` must carry the raw
+    ``minhash`` column (``compute_signatures(keep_minhash=True)``).
+
+    Plan shape: candidate pairs from band buckets (single shuffle), two
+    equi-joins pull the 128-slot arrays, agreement is one
+    ``zip_with``+``filter``+``size`` — pure Catalyst, no Python.
+
+    Output: (a, b, est_jaccard).
+    """
+    pairs = lsh_band_pairs(signatures, cfg)
+    sig = signatures.select("doc_id", "minhash")
+    eq = F.size(F.filter(
+        F.zip_with("_ma", "_mb", lambda x, y: x == y), lambda v: v
+    ))
+    return (
+        pairs
+        .join(sig.withColumnsRenamed({"doc_id": "a", "minhash": "_ma"}), "a")
+        .join(sig.withColumnsRenamed({"doc_id": "b", "minhash": "_mb"}), "b")
+        .select(
+            "a", "b",
+            F.round(eq / cfg.num_perm, 4).alias("est_jaccard"),
+        )
+    )
+
+
 def unified_candidate_pairs(
     signatures: DataFrame, cfg: DedupConfig = DEFAULT_DEDUP,
     include_simhash: bool = True,

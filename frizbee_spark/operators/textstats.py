@@ -117,6 +117,104 @@ def doc_fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text
     return df.select(F.col(id_col), fp.alias("fingerprint"))
 
 
+def _kgram_col(text_col: str, k: int):
+    """Array of the k-token grams of ``text_col`` (distinct, in-order
+    positions 1..max(n_tokens-k+1, 1) — the clamp keeps short docs
+    contributing their full text as one gram, mirrored in the oracles)."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        )
+    )
+
+
+def ngram_contamination(
+    df: DataFrame,
+    benchmark: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing any k-token
+    n-gram with a benchmark/eval set (the standard training-data
+    decontamination pass, run before any eval-adjacent corpus ships).
+
+    Plan shape: the benchmark side is DISTINCT'd and **broadcast** — an
+    eval suite is thousands of docs against a 10^12-doc corpus, so the
+    small side always fits and the corpus-side probe is a broadcast hash
+    join inside the scan stage (zero shuffle of corpus grams); the only
+    shuffle is the per-doc count aggregate, partially combined map-side.
+
+    Output: one row per contaminated corpus doc —
+    (doc_id, n_grams, n_contaminated_grams, contamination_ratio).
+    """
+    grams = _kgram_col(text_col, k)
+    corpus = df.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("gr"))
+    bench = (
+        benchmark.select(F.explode(_kgram_col(text_col, k)).alias("gr"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    per_doc = (
+        corpus.join(F.broadcast(bench), "gr", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_contaminated_grams"),
+        )
+    )
+    return (
+        per_doc.filter(F.col("n_contaminated_grams") > 0)
+        .withColumn(
+            "contamination_ratio",
+            F.round(F.col("n_contaminated_grams") / F.col("n_grams"), 4),
+        )
+    )
+
+
+def dup_chunks(
+    df: DataFrame,
+    chunk_tokens: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Chunk-level exact dedup (the paragraph-dedup operator, CCNet-style,
+    generalized to fixed token windows since web-extracted text here has
+    no paragraph marks): split each doc into non-overlapping
+    ``chunk_tokens``-token chunks, hash each, and report every chunk
+    occurring in more than one distinct doc.
+
+    Plan shape: explode chunk hashes (md5 strings only — text never
+    shuffles) -> one hash-partitioned aggregate with map-side combine.
+    At scale the >1-doc filter is applied post-combine, so singleton
+    chunks (the overwhelming majority) die in the partial aggregation.
+
+    Output: (chunk_md5, n_docs, n_occurrences, rep_doc_id).
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_chunks = F.floor(F.size(toks) / chunk_tokens).cast("int")
+    chunks = F.when(
+        n_chunks >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_chunks),
+            lambda c: F.md5(F.concat_ws(
+                " ", F.slice(toks, (c - 1) * chunk_tokens + 1, chunk_tokens))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ch = df.select(F.col(id_col).alias("doc_id"), F.explode(chunks).alias("chunk_md5"))
+    return (
+        ch.groupBy("chunk_md5")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+            F.min("doc_id").alias("rep_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
 def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Hash-groupBy exact dedup: one row per distinct text with its
     duplicate count and representative (min id). Map-side partial

@@ -401,3 +401,55 @@ class TestSpanExtents:
         # the corpus's span class copies >= ~2000-char spans: the report
         # must recover at least one long block
         assert rep["span_len"].max() >= 1500
+
+
+@pytest.mark.spark
+class TestMinhashJaccardEstimate:
+    def test_exact_dup_estimates_one(self, spark):
+        from frizbee_spark.operators.dedup import (
+            DedupConfig, compute_signatures, minhash_jaccard_estimate,
+            normalize_text,
+        )
+
+        base = "the quick brown fox jumps over the lazy dog " * 6
+        near = base.replace("lazy", "hazy")
+        docs = normalize_text(spark.createDataFrame(
+            [(1, base), (2, base), (3, near)],
+            "doc_id long, text string",
+        ))
+        cfg = DedupConfig()
+        sigs = compute_signatures(docs, cfg, keep_minhash=True)
+        got = {(r["a"], r["b"]): r["est_jaccard"]
+               for r in minhash_jaccard_estimate(sigs, cfg).collect()}
+        # byte-identical docs agree on every OPH slot
+        assert got[(1, 2)] == pytest.approx(1.0)
+        # one-word edit: high but sub-1 estimate, near the exact k-gram
+        # Jaccard (binomial over 128 slots -> +-3 sigma ~ 0.13)
+        if (1, 3) in got:
+            assert 0.5 < got[(1, 3)] < 1.0
+
+    def test_estimate_tracks_exact_jaccard(self, spark):
+        from frizbee_spark.functions.hashing import char_shingle_hashes, concat_docs
+        from frizbee_spark.operators.dedup import (
+            DedupConfig, compute_signatures, minhash_jaccard_estimate,
+            normalize_text,
+        )
+        import numpy as np
+
+        a = " ".join(f"w{i:03d}" for i in range(120))
+        b = " ".join(f"w{i:03d}" for i in range(20, 140))  # heavy overlap
+        docs = normalize_text(spark.createDataFrame(
+            [(1, a), (2, b)], "doc_id long, text string"))
+        cfg = DedupConfig()
+        sigs = compute_signatures(docs, cfg, keep_minhash=True)
+        rows = minhash_jaccard_estimate(sigs, cfg).collect()
+        assert len(rows) == 1
+        est = rows[0]["est_jaccard"]
+        # exact k-gram Jaccard via the same shingle kernel
+        buf, starts = concat_docs(
+            [t.encode() for t in (a.lower(), b.lower())], min_len=cfg.shingle_k)
+        sh, sst = char_shingle_hashes(buf, starts, cfg.shingle_k)
+        sa = set(np.asarray(sh[sst[0]:sst[1]]).tolist())
+        sb = set(np.asarray(sh[sst[1]:sst[2]]).tolist())
+        exact = len(sa & sb) / len(sa | sb)
+        assert abs(est - exact) < 0.15  # 3.4 sigma at num_perm=128

@@ -91,3 +91,66 @@ class TestTextStats:
                for r in shingle_jaccard_pairs(df, k=3, threshold=0.1).collect()}
         assert (1, 2) in got and got[(1, 2)] == pytest.approx(5 / 7, abs=1e-4)
         assert (1, 3) not in got
+
+    def test_ngram_contamination(self, spark):
+        from frizbee_spark.operators.textstats import ngram_contamination
+
+        # bench doc's 4-gram "a b c d" appears verbatim in doc 1; doc 2
+        # shares no 4-gram with the benchmark
+        corpus = spark.createDataFrame(
+            [(1, "x y a b c d z w"), (2, "p q r s t u v w")],
+            "doc_id long, text string",
+        )
+        bench = spark.createDataFrame(
+            [(100, "a b c d e f")], "doc_id long, text string",
+        )
+        got = {r["doc_id"]: r for r in
+               ngram_contamination(corpus, bench, k=4).collect()}
+        assert set(got) == {1}
+        assert got[1]["n_grams"] == 5          # 8 tokens -> 5 distinct 4-grams
+        assert got[1]["n_contaminated_grams"] == 1
+        assert got[1]["contamination_ratio"] == pytest.approx(0.2)
+
+    def test_ngram_contamination_short_doc_clamp(self, spark):
+        from frizbee_spark.operators.textstats import ngram_contamination
+
+        # doc shorter than k contributes its full text as ONE gram (the
+        # greatest(..., 1) clamp) — identical on the SQL-oracle side
+        corpus = spark.createDataFrame(
+            [(1, "a b")], "doc_id long, text string")
+        bench = spark.createDataFrame(
+            [(100, "a b")], "doc_id long, text string")
+        got = ngram_contamination(corpus, bench, k=4).collect()
+        assert len(got) == 1 and got[0]["n_grams"] == 1
+
+    def test_dup_chunks(self, spark):
+        from frizbee_spark.operators.textstats import dup_chunks
+
+        # docs 1 and 2 share their first 4-token chunk; doc 3 is unique;
+        # doc 4 is too short for any chunk
+        corpus = spark.createDataFrame(
+            [
+                (1, "a b c d e f g h"),
+                (2, "a b c d x y z w"),
+                (3, "q r s t u v w x"),
+                (4, "a b"),
+            ],
+            "doc_id long, text string",
+        )
+        got = dup_chunks(corpus, chunk_tokens=4).collect()
+        assert len(got) == 1
+        r = got[0]
+        assert r["n_docs"] == 2 and r["n_occurrences"] == 2
+        assert r["rep_doc_id"] == 1
+
+    def test_dup_chunks_within_doc_repeat(self, spark):
+        from frizbee_spark.operators.textstats import dup_chunks
+
+        # the same chunk twice within ONE doc is not a cross-doc dup
+        # (n_docs=1 filtered); across docs it counts every occurrence
+        corpus = spark.createDataFrame(
+            [(1, "a b a b"), (2, "a b c d")],
+            "doc_id long, text string",
+        )
+        got = dup_chunks(corpus, chunk_tokens=2).collect()
+        assert {(r["n_docs"], r["n_occurrences"]) for r in got} == {(2, 3)}
