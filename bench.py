@@ -60,8 +60,17 @@ def main() -> None:
         (spark.range(1_000_000).select(_F.xxhash64("id").alias("h"))
          .repartition(4, "h").write.mode("overwrite").parquet(_wtmp))
         spark.read.parquet(_wtmp).count()
-        # fork + warm one Python worker per core (pandas/numpy imports)
+        # fork + warm one Python worker per core (pandas/numpy imports),
+        # and pre-grow each worker's malloc arena: session.py pins glibc
+        # to RETAIN freed buffers, so one ~256 MB touch here pays the
+        # slow-fault page-zeroing tax (see _malloc_retention_env) once,
+        # outside the timed window — exactly like the JVM warmup above
         def _warm(batches):
+            import numpy as _np
+
+            scratch = _np.empty(32 * 1024 * 1024, dtype=_np.float64)
+            scratch[::512] = 1.0  # touch every page
+            del scratch
             for pdf in batches:
                 yield pdf
         (spark.range(cpus * 4).repartition(cpus)
@@ -114,6 +123,7 @@ def main() -> None:
             "fuzzy_match",
             "greedy_match", "canonical_docs", "media_stats",
             "embedding_near_dups", "winnow_span_pairs",
+            "ngram_contamination", "dup_chunks", "minhash_jaccard_est",
         ):
             fn = E.queries()[name]
             t0 = time.monotonic()

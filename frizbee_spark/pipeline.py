@@ -475,11 +475,28 @@ class NearDupPipeline:
                                              "candidates", "span_pairs"):
             import concurrent.futures
 
+            # span_report depends only on (documents, span_pairs), so it
+            # chains on the SAME side thread and overlaps the SW verify —
+            # running it after `verified` on the main thread measured +9s
+            # of serial wall at bench scale. Skipped when `until` stops
+            # at `verified` (its block below never runs there either).
+            chain_report = until != "verified"
+
+            def _span_chain():
+                sp = self._stage(
+                    "span_pairs",
+                    lambda: winnow_span_pairs(documents, d, keep_witness=True),
+                )
+                rep = None
+                if chain_report:
+                    rep = self._stage(
+                        "span_report",
+                        lambda: span_extents(documents, d, span_pairs=sp),
+                    )
+                return sp, rep
+
             pool = concurrent.futures.ThreadPoolExecutor(1)
-            span_future = pool.submit(
-                self._stage, "span_pairs",
-                lambda: winnow_span_pairs(documents, d, keep_witness=True),
-            )
+            span_future = pool.submit(_span_chain)
 
         def _join_span():
             if span_future is None:
@@ -488,7 +505,10 @@ class NearDupPipeline:
 
             unwinding = sys.exc_info()[0] is not None
             try:
-                out["span_pairs"] = span_future.result()
+                sp, rep = span_future.result()
+                out["span_pairs"] = sp
+                if rep is not None:
+                    out["span_report"] = rep
             except Exception:
                 # when called from `finally` during another exception's
                 # unwind, a span-branch failure (usually the same root
@@ -557,7 +577,9 @@ class NearDupPipeline:
         # grams of confirmed span pairs extended to maximal byte-identical
         # extents (offsets + length per pair). Stays OUT of clustering,
         # like span_pairs itself.
-        if cfg.enable_span and "span_pairs" in out:
+        if cfg.enable_span and "span_pairs" in out and "span_report" not in out:
+            # sequential fallback (the concurrent branch normally chains
+            # span_report; this path serves `until`-interrupted resumes)
             sp = out["span_pairs"]
             if "a_off" not in sp.columns:
                 # resumed from a pre-witness span_pairs checkpoint
