@@ -83,6 +83,7 @@ def get_spark(app_name: str = "frizbee-spark", cores: int | None = None, extra: 
     # scale per node. Use the RAM-backed /dev/shm when present (standard
     # practice: put spark.local.dir on the fastest local storage).
     local_dir = choose_local_dir()
+    driver_mem = os.environ.get("SPARK_DRIVER_MEMORY", "16g")
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)
@@ -95,16 +96,20 @@ def get_spark(app_name: str = "frizbee-spark", cores: int | None = None, extra: 
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
-        # Pre-touch a working-set-sized initial heap: on slow-fault hosts
-        # (see _malloc_retention_env) lazy heap growth re-pays page
-        # zeroing mid-query; pre-touching at startup moves that cost
-        # outside the measured work, and the JVM never uncommits below
-        # -Xms so it is paid once. 8g covers the e2e pipeline's steady
-        # state at bench scale; override via SPARK_GRAFT_XMS.
+        .config("spark.driver.memory", driver_mem)
+        # Pre-touch the WHOLE heap at startup (Xms = Xmx + AlwaysPreTouch):
+        # on slow-fault hosts (see _malloc_retention_env) G1's evacuation
+        # copies into newly-committed regions whose pages fault in DURING
+        # the pause — measured young-GC pauses of 6-18 s on this sandbox
+        # with a lazily-grown heap, vs 28 ms max once fully pre-touched.
+        # The heap is right-sized to 16g (not the old 48g) so the one-time
+        # pre-touch stays ~13 s and G1 collects instead of growing;
+        # execution/storage overflow spills to spark.local.dir as usual.
+        # Override via SPARK_DRIVER_MEMORY / SPARK_GRAFT_XMS.
         .config(
             "spark.driver.extraJavaOptions",
-            f"-Xms{os.environ.get('SPARK_GRAFT_XMS', '8g')} -XX:+AlwaysPreTouch",
+            f"-Xms{os.environ.get('SPARK_GRAFT_XMS', driver_mem)} "
+            "-XX:+AlwaysPreTouch",
         )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", split)
