@@ -226,6 +226,24 @@ def q_quality_score(spark, sf_dir):
     return quality_score(_docs(spark, sf_dir))
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style within-doc repetition filter signals (top-unigram
+    fraction, duplicated-3-gram coverage) — catches keyword-stuffed /
+    template pages whose cross-doc signals look fine."""
+    from frizbee_spark.operators.textstats import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir), gram_k=3)
+
+
+def q_length_profile(spark, sf_dir):
+    """Power-of-two length histogram of the corpus (doc count + char mass
+    per bucket) — the scan-bound profiling rollup used to size partitions
+    and length cutoffs; reads a single pruned column."""
+    from frizbee_spark.operators.textstats import length_profile
+
+    return length_profile(_docs(spark, sf_dir))
+
+
 def q_language_id(spark, sf_dir):
     from frizbee_spark.operators.textstats import language_id
 
@@ -550,6 +568,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "bpe_token_stats": q_bpe_token_stats,
         "quality_score": q_quality_score,
+        "repetition_stats": q_repetition_stats,
+        "length_profile": q_length_profile,
         "language_id": q_language_id,
         "doc_fingerprint": q_doc_fingerprint,
         "embedding_topk": q_embedding_topk,
@@ -780,6 +800,47 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_bpe_tokens, n_ws_tokens,
                    round(n_bpe_tokens * 1.0 / n_ws_tokens, 4) AS tokens_per_word
             FROM t
+        """,
+        "repetition_stats": """
+            WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS w
+                       FROM documents),
+            ucnt AS (
+                SELECT doc_id, u, count(*) AS c
+                FROM t, unnest(w) AS s(u) GROUP BY 1, 2
+            ),
+            uni AS (
+                SELECT doc_id, sum(c) AS n_tokens, max(c) AS top
+                FROM ucnt GROUP BY 1
+            ),
+            g AS (
+                SELECT doc_id, concat_ws(' ', w[i], w[i+1], w[i+2]) AS g
+                FROM t,
+                     unnest(generate_series(1, greatest(len(w) - 2, 1))) AS s(i)
+            ),
+            gcnt AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2),
+            gr AS (
+                SELECT doc_id, sum(c) AS n_grams,
+                       sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup
+                FROM gcnt GROUP BY 1
+            )
+            SELECT u.doc_id,
+                   u.n_tokens::BIGINT AS n_tokens,
+                   round(u.top * 1.0 / u.n_tokens, 4) AS top_unigram_frac,
+                   round(gr.dup * 1.0 / gr.n_grams, 4) AS dup_gram_frac
+            FROM uni u JOIN gr ON u.doc_id = gr.doc_id
+        """,
+        "length_profile": """
+            WITH t AS (
+                SELECT floor(log2(greatest(length(text), 1)))::INT AS len_bucket,
+                       length(text) AS n
+                FROM documents
+            )
+            SELECT len_bucket,
+                   count(*) AS n_docs,
+                   sum(n)::BIGINT AS total_chars,
+                   min(n)::BIGINT AS min_chars,
+                   max(n)::BIGINT AS max_chars
+            FROM t GROUP BY 1
         """,
         "quality_score": f"""
             WITH t AS (

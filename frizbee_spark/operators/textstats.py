@@ -215,6 +215,88 @@ def dup_chunks(
     )
 
 
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gram_k: int = 3,
+) -> DataFrame:
+    """Gopher-style within-document repetition signals — the standard
+    webtext quality gate that catches boilerplate/spam pages whose
+    *cross-document* signals look fine (Rae et al. 2021, "Scaling
+    Language Models", §A1.1 repetition filters; public heuristic).
+
+    Per doc: token count, fraction of tokens that are the single most
+    frequent token (``top_unigram_frac``), and the fraction of k-gram
+    positions covered by k-grams occurring more than once in the doc
+    (``dup_gram_frac``). High values of either flag keyword-stuffed or
+    template pages for removal before dedup ever runs.
+
+    Plan shape: two explode -> aggregate chains whose keys BOTH include
+    ``doc_id`` — the shuffle is uniformly spread (no hot keys possible:
+    a key's row count is bounded by one document's length), partial
+    aggregation combines map-side, and text never shuffles (only grams).
+    The final per-doc join is on ``doc_id``, AQE-planned. This is the
+    100 TB-safe shape; a per-row higher-order-function variant would
+    avoid the shuffle but costs O(len^2) compute per doc on long docs.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    # k-gram positions (NOT distinct — occurrence counts matter here);
+    # short docs clamp to one gram of the whole text, as in _kgram_col
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (gram_k - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, gram_k)),
+    )
+    uni = (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("w"))
+        .groupBy("doc_id", "w").agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("n_tokens"), F.max("c").alias("_top"))
+    )
+    gr = (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("g"))
+        .groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("_n_grams"),
+            F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(F.lit(0))).alias("_dup"),
+        )
+    )
+    return (
+        uni.join(gr, "doc_id")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.round(F.col("_top") / F.col("n_tokens"), 4).alias("top_unigram_frac"),
+            F.round(F.col("_dup") / F.col("_n_grams"), 4).alias("dup_gram_frac"),
+        )
+    )
+
+
+def length_profile(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Corpus length histogram: power-of-two ``n_chars`` buckets with doc
+    count and char mass per bucket — the profiling rollup a curation run
+    uses to pick partition sizing and length cutoffs before heavy stages.
+
+    Reads ONLY ``length(text)`` (or a pre-materialized length column):
+    column pruning keeps the parquet scan to one column, and the single
+    groupBy on ~30 possible bucket keys combines map-side to almost
+    nothing — at 100 TB this is scan-bound, which is the point.
+    """
+    n = F.length(F.col(text_col))
+    bucket = F.floor(F.log2(F.greatest(n, F.lit(1)))).cast("int")
+    return (
+        df.select(bucket.alias("len_bucket"), n.alias("_n"))
+        .groupBy("len_bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_n").cast("long").alias("total_chars"),
+            F.min("_n").cast("long").alias("min_chars"),
+            F.max("_n").cast("long").alias("max_chars"),
+        )
+    )
+
+
 def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Hash-groupBy exact dedup: one row per distinct text with its
     duplicate count and representative (min id). Map-side partial

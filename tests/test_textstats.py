@@ -8,7 +8,9 @@ from frizbee_spark.operators.textstats import (
     doc_fingerprint,
     exact_dup_groups,
     language_id,
+    length_profile,
     quality_score,
+    repetition_stats,
     shingle_jaccard_pairs,
     token_stats,
 )
@@ -52,6 +54,40 @@ class TestTextStats:
         assert got["n_bpe_tokens"] == 13
         assert got["n_ws_tokens"] == 7
         assert got["tokens_per_word"] == pytest.approx(13 / 7, abs=1e-4)
+
+    def test_repetition_stats(self, spark):
+        df = spark.createDataFrame(
+            [
+                # 'buy now' repeated 4x: top unigram 'buy' 4/8; every
+                # 3-gram occurs >1x except none — grams: 'buy now buy',
+                # 'now buy now' x alternating -> all 6 positions dup
+                (1, "buy now buy now buy now buy now"),
+                # all-distinct tokens: top 1/5, zero duplicated grams
+                (2, "alpha beta gamma delta epsilon"),
+                # short doc (2 tokens < k): one clamped gram, not dup
+                (3, "tiny doc"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {r["doc_id"]: r for r in repetition_stats(df, gram_k=3).collect()}
+        assert got[1]["n_tokens"] == 8
+        assert got[1]["top_unigram_frac"] == pytest.approx(0.5)
+        assert got[1]["dup_gram_frac"] == pytest.approx(1.0)
+        assert got[2]["top_unigram_frac"] == pytest.approx(0.2)
+        assert got[2]["dup_gram_frac"] == 0.0
+        assert got[3]["n_tokens"] == 2 and got[3]["dup_gram_frac"] == 0.0
+
+    def test_length_profile(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a" * 10), (2, "b" * 12), (3, "c" * 100), (4, "d")],
+            "doc_id long, text string",
+        )
+        got = {r["len_bucket"]: r for r in length_profile(df).collect()}
+        # 10,12 -> bucket 3; 100 -> bucket 6; 1 -> bucket 0
+        assert got[3]["n_docs"] == 2 and got[3]["total_chars"] == 22
+        assert got[3]["min_chars"] == 10 and got[3]["max_chars"] == 12
+        assert got[6]["n_docs"] == 1
+        assert got[0]["n_docs"] == 1
 
     def test_exact_dup_groups(self, docs):
         got = {r["text_md5"]: r for r in exact_dup_groups(docs).collect()}
