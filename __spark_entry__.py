@@ -244,6 +244,39 @@ def q_length_profile(spark, sf_dir):
     return length_profile(_docs(spark, sf_dir))
 
 
+def q_corpus_filter(spark, sf_dir):
+    """FineWeb/Gopher-style keep/drop gate with precedence-ordered reason
+    codes (too_short > repetitive_grams > repetitive_unigram >
+    no_lang_signal) — the materialized curation decision. Thresholds are
+    set where the fixture distribution actually splits (all four reasons
+    fire at sf0.01), so the query is non-vacuous."""
+    from frizbee_spark.operators.textstats import corpus_filter
+
+    return corpus_filter(_docs(spark, sf_dir))
+
+
+def q_cluster_split(spark, sf_dir):
+    """Leakage-safe train/val/test assignment: hash the near-dup CLUSTER
+    id (not the row id), so every member of a duplicate cluster lands in
+    one split and eval rows can never have train-set near-copies — the
+    standard contamination failure of row-hash splits. Cluster definition
+    is the oracle-expressible one shared with near_dup_clusters."""
+    from frizbee_spark.operators.components import assign_clusters
+    from frizbee_spark.operators.textstats import hash_split
+
+    docs, edges = _near_dup_edges(spark, sf_dir)
+    return hash_split(assign_clusters(docs, edges), "cluster_id").select(
+        "doc_id", "cluster_id", "split_bucket", "split")
+
+
+def q_tfidf_topterms(spark, sf_dir):
+    """Top-3 terms per doc by smoothed TF-IDF (scikit-learn smoothing) —
+    the per-doc keyword/topic signal for corpus mixing decisions."""
+    from frizbee_spark.operators.textstats import tfidf_topterms
+
+    return tfidf_topterms(_docs(spark, sf_dir), top_m=3)
+
+
 def q_language_id(spark, sf_dir):
     from frizbee_spark.operators.textstats import language_id
 
@@ -595,6 +628,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "repetition_stats": q_repetition_stats,
         "length_profile": q_length_profile,
+        "corpus_filter": q_corpus_filter,
+        "cluster_split": q_cluster_split,
+        "tfidf_topterms": q_tfidf_topterms,
         "language_id": q_language_id,
         "doc_fingerprint": q_doc_fingerprint,
         "embedding_topk": q_embedding_topk,
@@ -866,6 +902,100 @@ def oracle_sql() -> dict[str, str]:
                    min(n)::BIGINT AS min_chars,
                    max(n)::BIGINT AS max_chars
             FROM t GROUP BY 1
+        """,
+        "corpus_filter": f"""
+            WITH t AS (SELECT doc_id, text, string_split(trim(text), ' ') AS w
+                       FROM documents),
+            ucnt AS (
+                SELECT doc_id, u, count(*) AS c
+                FROM t, unnest(w) AS s(u) GROUP BY 1, 2
+            ),
+            uni AS (
+                SELECT doc_id, sum(c) AS n_tokens, max(c) AS top
+                FROM ucnt GROUP BY 1
+            ),
+            g AS (
+                SELECT doc_id, concat_ws(' ', w[i], w[i+1], w[i+2]) AS g
+                FROM t,
+                     unnest(generate_series(1, greatest(len(w) - 2, 1))) AS s(i)
+            ),
+            gcnt AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2),
+            gr AS (
+                SELECT doc_id, sum(c) AS n_grams,
+                       sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup
+                FROM gcnt GROUP BY 1
+            ),
+            lang AS (
+                SELECT doc_id,
+                       len(list_intersect(lw, [{en}])) AS he,
+                       len(list_intersect(lw, [{de}])) AS hd,
+                       len(list_intersect(lw, [{fr}])) AS hf
+                FROM (SELECT doc_id,
+                             list_distinct(string_split(lower(trim(text)), ' ')) AS lw
+                      FROM documents)
+            ),
+            sig AS (
+                SELECT t.doc_id,
+                       length(t.text)::BIGINT AS n_chars,
+                       u.n_tokens::BIGINT AS n_tokens,
+                       round(u.top * 1.0 / u.n_tokens, 4) AS top_unigram_frac,
+                       round(gr.dup * 1.0 / gr.n_grams, 4) AS dup_gram_frac,
+                       CASE WHEN greatest(he, hd, hf) = 0 THEN 'und'
+                            WHEN he = greatest(he, hd, hf) THEN 'en'
+                            WHEN hd = greatest(he, hd, hf) THEN 'de'
+                            ELSE 'fr' END AS lang_pred
+                FROM t JOIN uni u USING (doc_id) JOIN gr USING (doc_id)
+                       JOIN lang USING (doc_id)
+            )
+            SELECT doc_id, n_chars, n_tokens, top_unigram_frac,
+                   dup_gram_frac, lang_pred, (reason = 'ok') AS keep, reason
+            FROM (
+                SELECT *,
+                       CASE WHEN n_chars < 50 OR n_tokens < 10 THEN 'too_short'
+                            WHEN dup_gram_frac > 0.05 THEN 'repetitive_grams'
+                            WHEN top_unigram_frac > 0.125 THEN 'repetitive_unigram'
+                            WHEN lang_pred = 'und' THEN 'no_lang_signal'
+                            ELSE 'ok' END AS reason
+                FROM sig
+            )
+        """,
+        "cluster_split": f"""
+            WITH RECURSIVE {_CLUSTER_CTE.lstrip()},
+            b AS (
+                SELECT doc_id, cluster_id,
+                       ((('0x' || substr(md5('split:' || cluster_id::VARCHAR),
+                                         1, 15))::UBIGINT)::BIGINT % 10)
+                           AS split_bucket
+                FROM clusters
+            )
+            SELECT doc_id, cluster_id, split_bucket,
+                   CASE WHEN split_bucket < 8 THEN 'train'
+                        WHEN split_bucket < 9 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM b
+        """,
+        "tfidf_topterms": """
+            WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS w
+                       FROM documents),
+            tf AS (
+                SELECT doc_id, u AS term, count(*) AS tf
+                FROM t, unnest(w) AS s(u) GROUP BY 1, 2
+            ),
+            dfreq AS (SELECT term, count(*) AS dfr FROM tf GROUP BY 1),
+            n AS (SELECT count(*) AS nd FROM documents),
+            scored AS (
+                SELECT tf.doc_id, tf.term,
+                       round(tf.tf * (ln((nd + 1) * 1.0 / (dfr + 1)) + 1), 4)
+                           AS tfidf
+                FROM tf JOIN dfreq USING (term) CROSS JOIN n
+            ),
+            r AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY doc_id ORDER BY tfidf DESC, term ASC
+                ) AS rank
+                FROM scored
+            )
+            SELECT doc_id, term, tfidf, rank FROM r WHERE rank <= 3
         """,
         "quality_score": f"""
             WITH t AS (

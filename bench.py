@@ -124,6 +124,7 @@ def main() -> None:
             "greedy_match", "canonical_docs", "media_stats",
             "embedding_near_dups", "winnow_span_pairs",
             "ngram_contamination", "dup_chunks", "minhash_jaccard_est",
+            "corpus_filter", "tfidf_topterms",
         ):
             fn = E.queries()[name]
             t0 = time.monotonic()

@@ -364,3 +364,139 @@ def shingle_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
     )
+
+
+def corpus_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_chars: int = 50,
+    min_tokens: int = 10,
+    max_top_unigram_frac: float = 0.125,
+    max_dup_gram_frac: float = 0.05,
+) -> DataFrame:
+    """FineWeb/Gopher-style keep/drop gate with reason codes — the
+    curation decision a training-data pipeline materializes before dedup
+    (Penedo et al. 2024 "FineWeb" §3.2, Rae et al. 2021 §A1.1; public
+    heuristics). One row per doc: the measured signals, a ``keep``
+    boolean, and the FIRST failing reason in a fixed precedence order
+    (too_short > repetitive_grams > repetitive_unigram > no_lang_signal),
+    so downstream removal stats are unambiguous.
+
+    Plan shape: the repetition signals are the two explode->aggregate
+    chains of :func:`repetition_stats` (doc_id in every key — no hot
+    keys); length and language markers are pure per-row Catalyst on the
+    same scan; everything re-joins on ``doc_id`` (AQE). Text never
+    shuffles. Thresholds are compared on the ROUNDED (4-decimal)
+    fractions that :func:`repetition_stats` outputs, and the SQL oracle
+    rounds identically, so the decision reproduces exactly.
+    """
+    rep = repetition_stats(df, id_col, text_col).withColumnsRenamed(
+        {"doc_id": "_rid"})
+    lang = language_id(df, id_col, text_col).withColumnsRenamed(
+        {"doc_id": "_lid"})
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.length(F.col(text_col)).cast("long").alias("n_chars"),
+    )
+    j = (
+        base.join(rep, base.doc_id == rep._rid)
+        .join(lang, base.doc_id == lang._lid)
+    )
+    top_frac = F.col("top_unigram_frac")
+    dup_frac = F.col("dup_gram_frac")
+    no_lang = F.col("lang_pred") == "und"
+    reason = (
+        F.when((F.col("n_chars") < min_chars)
+               | (F.col("n_tokens") < min_tokens), "too_short")
+        .when(dup_frac > max_dup_gram_frac, "repetitive_grams")
+        .when(top_frac > max_top_unigram_frac, "repetitive_unigram")
+        .when(no_lang, "no_lang_signal")
+        .otherwise("ok")
+    )
+    return j.select(
+        "doc_id", "n_chars", "n_tokens",
+        "top_unigram_frac", "dup_gram_frac", "lang_pred",
+        (reason == "ok").alias("keep"),
+        reason.alias("reason"),
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    n_buckets: int = 10,
+    train_buckets: int = 8,
+    val_buckets: int = 1,
+    salt: str = "split:",
+) -> DataFrame:
+    """Deterministic train/val/test assignment by hashing ``key_col`` —
+    portable (md5-derived, identical in any engine), stable under
+    re-runs and appends, and leakage-safe when ``key_col`` is a
+    near-dup CLUSTER id: every member of a duplicate cluster lands in
+    the same split, so eval rows can never have train-set near-copies
+    (the standard contamination failure of row-hash splits; cf. the
+    decontamination operator ``ngram_contamination``).
+
+    Adds ``split_bucket`` (0..n_buckets-1) and ``split`` to the input.
+    Pure per-row Catalyst — no shuffle; at 100 TB this is a free column
+    on whatever scan/join produced ``key_col``.
+    """
+    bucket = (
+        F.conv(F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))),
+            1, 15), 16, 10)
+        .cast("long") % n_buckets
+    )
+    split = (
+        F.when(F.col("split_bucket") < train_buckets, "train")
+        .when(F.col("split_bucket") < train_buckets + val_buckets, "val")
+        .otherwise("test")
+    )
+    return df.withColumn("split_bucket", bucket).withColumn("split", split)
+
+
+def tfidf_topterms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_m: int = 3,
+) -> DataFrame:
+    """Top-m terms per document by smoothed TF-IDF
+    (idf = ln((N+1)/(df+1)) + 1, the scikit-learn smoothing; public) —
+    the per-doc keyword signal curation pipelines use for topic/domain
+    mixing decisions.
+
+    Plan shape: explode -> (doc_id, term) count [keys include doc_id —
+    uniform] -> term document-frequency aggregate [vocab-sized, heavy
+    tail but count-only rows] -> idf joined BACK to the tf rows on
+    ``term`` (AQE picks broadcast when the vocab fits, sort-merge
+    otherwise) -> per-doc top-m window. N arrives via a 1-row broadcast
+    cross join, not a driver action. Ties break on the ROUNDED score
+    then term asc, so the SQL oracle's ordering is identical.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    tf = (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("term"))
+        .groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("_df"))
+    n_docs = df.select(F.count("*").alias("_n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf") * (F.log((F.col("_n") + 1) / (F.col("_df") + 1)) + 1),
+                4),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_m)
+        .select("doc_id", "term", "tfidf", "rank")
+    )

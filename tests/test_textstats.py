@@ -190,3 +190,109 @@ class TestTextStats:
         )
         got = dup_chunks(corpus, chunk_tokens=2).collect()
         assert {(r["n_docs"], r["n_occurrences"]) for r in got} == {(2, 3)}
+
+
+class TestCorpusFilter:
+    def test_reason_precedence_and_keep(self, spark):
+        from frizbee_spark.operators.textstats import corpus_filter
+
+        long_ok = " ".join(
+            ["the", "and", "of"] + [f"w{i}" for i in range(20)])
+        rep_uni = "the " * 30 + " ".join(f"w{i}" for i in range(10))
+        rep_gram = "the and of " * 10 + " ".join(f"w{i}" for i in range(10))
+        no_lang = " ".join(f"zq{i}" for i in range(30))
+        corpus = spark.createDataFrame(
+            [
+                (1, long_ok),          # passes every gate
+                (2, "the and of"),     # too_short (chars AND tokens)
+                (3, rep_uni.strip()),  # top unigram 30/40 > 0.125
+                (4, rep_gram.strip()), # dup 3-gram coverage > 0.05
+                (5, no_lang),          # zero marker hits
+            ],
+            "doc_id long, text string",
+        )
+        got = {r["doc_id"]: (r["keep"], r["reason"])
+               for r in corpus_filter(corpus).collect()}
+        assert got[1] == (True, "ok")
+        assert got[2] == (False, "too_short")
+        # doc 3 also repeats grams ("the" runs), but gram precedence is
+        # higher ONLY when the gram threshold trips; assert the reason
+        # is one of the two repetition codes and keep is False
+        assert got[3][0] is False and got[3][1].startswith("repetitive")
+        assert got[4] == (False, "repetitive_grams")
+        assert got[5] == (False, "no_lang_signal")
+
+    def test_fixture_mix_nonvacuous(self, spark):
+        from frizbee_spark.operators.textstats import corpus_filter
+
+        docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        reasons = {
+            r["reason"]: r["n"]
+            for r in corpus_filter(docs).groupBy("reason")
+            .agg(F.count("*").alias("n")).collect()
+        }
+        # every reason code fires on the fixture (thresholds were chosen
+        # against its distribution) — the driver query is non-vacuous
+        assert set(reasons) == {"ok", "too_short", "repetitive_grams",
+                                "repetitive_unigram", "no_lang_signal"}
+        assert reasons["ok"] > 250
+
+
+class TestHashSplit:
+    def test_deterministic_and_leakage_safe(self, spark):
+        from frizbee_spark.operators.textstats import hash_split
+
+        rows = [(i, i % 37) for i in range(500)]  # 37 clusters
+        df = spark.createDataFrame(rows, "doc_id long, cluster_id long")
+        a = hash_split(df, "cluster_id").collect()
+        b = hash_split(df, "cluster_id").collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+        # leakage safety: one split per cluster, by construction
+        per_cluster = {}
+        for r in a:
+            per_cluster.setdefault(r["cluster_id"], set()).add(r["split"])
+        assert all(len(s) == 1 for s in per_cluster.values())
+        splits = {r["split"] for r in a}
+        assert splits == {"train", "val", "test"}
+        assert all(0 <= r["split_bucket"] < 10 for r in a)
+
+    def test_stable_under_append(self, spark):
+        from frizbee_spark.operators.textstats import hash_split
+
+        small = spark.createDataFrame(
+            [(i, i) for i in range(50)], "doc_id long, cluster_id long")
+        big = spark.createDataFrame(
+            [(i, i) for i in range(100)], "doc_id long, cluster_id long")
+        a = {r["cluster_id"]: r["split"]
+             for r in hash_split(small, "cluster_id").collect()}
+        b = {r["cluster_id"]: r["split"]
+             for r in hash_split(big, "cluster_id").collect()}
+        assert all(b[k] == v for k, v in a.items())
+
+
+class TestTfidfTopterms:
+    def test_hand_checked_scores(self, spark):
+        import math
+
+        from frizbee_spark.operators.textstats import tfidf_topterms
+
+        corpus = spark.createDataFrame(
+            [(1, "apple apple banana"), (2, "banana cherry"), (3, "cherry date")],
+            "doc_id long, text string",
+        )
+        got = {(r["doc_id"], r["term"]): (r["tfidf"], r["rank"])
+               for r in tfidf_topterms(corpus, top_m=2).collect()}
+        idf = lambda dfr: math.log(4 / (dfr + 1)) + 1  # N=3
+        assert got[(1, "apple")] == (round(2 * idf(1), 4), 1)
+        assert got[(1, "banana")] == (round(1 * idf(2), 4), 2)
+        # doc 2: banana and cherry tie (tf=1, df=2) -> term asc breaks it
+        assert got[(2, "banana")][1] == 1 and got[(2, "cherry")][1] == 2
+
+    def test_rank_bounds(self, spark):
+        from frizbee_spark.operators.textstats import tfidf_topterms
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        got = tfidf_topterms(docs, top_m=3)
+        assert got.filter("rank > 3 or rank < 1").count() == 0
+        per_doc = got.groupBy("doc_id").agg(F.count("*").alias("n"))
+        assert per_doc.filter("n > 3").count() == 0
