@@ -474,6 +474,13 @@ def tfidf_topterms(
     otherwise) -> per-doc top-m window. N arrives via a 1-row broadcast
     cross join, not a driver action. Ties break on the ROUNDED score
     then term asc, so the SQL oracle's ordering is identical.
+
+    Catalyst evaluates the tf subtree twice (once for the tf rows, once
+    feeding the vocab rollup) — deliberate: re-scanning a columnar
+    source is streamy and cheap, while persisting a TB-scale (doc_id,
+    term, tf) intermediate to share one scan would pressure executor
+    storage for no wall-clock win. The window applies WindowGroupLimit
+    below the final exchange, so only ~top_m rows per doc shuffle.
     """
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     tf = (
