@@ -374,6 +374,7 @@ def corpus_filter(
     min_tokens: int = 10,
     max_top_unigram_frac: float = 0.125,
     max_dup_gram_frac: float = 0.05,
+    require_lang_signal: bool = True,
 ) -> DataFrame:
     """FineWeb/Gopher-style keep/drop gate with reason codes — the
     curation decision a training-data pipeline materializes before dedup
@@ -405,7 +406,11 @@ def corpus_filter(
     )
     top_frac = F.col("top_unigram_frac")
     dup_frac = F.col("dup_gram_frac")
-    no_lang = F.col("lang_pred") == "und"
+    # require_lang_signal=False disables the marker-word gate — right for
+    # corpora whose vocabulary the tiny marker lists don't cover (the
+    # gate would otherwise drop everything, which is a config error, not
+    # curation)
+    no_lang = (F.col("lang_pred") == "und") if require_lang_signal else F.lit(False)
     reason = (
         F.when((F.col("n_chars") < min_chars)
                | (F.col("n_tokens") < min_tokens), "too_short")

@@ -62,8 +62,8 @@ from .operators.dedup import (
 )
 
 STAGES = (
-    "documents", "signatures", "candidates", "span_pairs", "span_report",
-    "verified", "edges", "clusters", "canonical",
+    "documents", "filter", "signatures", "candidates", "span_pairs",
+    "span_report", "verified", "edges", "clusters", "canonical",
 )
 
 # stages whose output is consumed exactly once by the next stage — flowing
@@ -87,6 +87,15 @@ class PipelineConfig:
     # source adds Hamming-ball recall without the quadratic birthday noise
     # the old 4x16-bit chunks produced at n >> 65k.
     enable_span: bool = True
+    filter_opts: dict | None = None  # kwargs for operators.textstats.
+    # corpus_filter when the gate is on (thresholds, require_lang_signal)
+    enable_filter: bool = False  # FineWeb/Gopher-style corpus_filter gate
+    # BEFORE dedup: drop too-short/repetitive/language-less docs so no
+    # signature or verify work is spent on rows curation discards anyway.
+    # Off by default (dedup-everything is this pipeline's contract); the
+    # gate's identity is stamped into the signatures checkpoint meta, so
+    # toggling it between runs of one workdir fails the resume loudly
+    # instead of silently mixing doc sets.
     check_extraction: bool = True   # assert extracted_text == text per url
     check_id_collisions: bool = True
     doc_partitions: int | None = None   # force a doc_id hash layout on the
@@ -464,6 +473,28 @@ class NearDupPipeline:
             self.flush_metrics()
             return out
 
+        if cfg.enable_filter:
+            # curation gate: the decision table is a first-class output;
+            # every downstream stage (span branch included — `documents`
+            # is rebound before the closures below capture it) sees only
+            # kept docs. left-semi join: no column duplication, and AQE
+            # broadcasts the id side when the kept set is small relative
+            # to the corpus.
+            from .operators.textstats import corpus_filter
+
+            decisions = self._stage(
+                "filter",
+                lambda: corpus_filter(documents, **(cfg.filter_opts or {})),
+            )
+            out["filter"] = decisions
+            documents = documents.join(
+                decisions.filter("keep").select("doc_id"), "doc_id", "left_semi"
+            )
+        if until == "filter":
+            _join_check()
+            self.flush_metrics()
+            return out
+
         # span_pairs depends only on `documents` — launch it on a second
         # submission thread so Spark schedules it CONCURRENTLY with the
         # signatures -> candidates -> verify chain (independent DAG
@@ -521,7 +552,14 @@ class NearDupPipeline:
         try:
             signatures = self._stage(
                 "signatures", lambda: compute_signatures(documents, d),
-                meta=signature_meta(d),
+                # the gate key is stamped only when the gate is ON: a
+                # gate-off stamp stays byte-identical to pre-gate
+                # checkpoints (their resumes keep working), while any
+                # on<->off toggle of one workdir still mismatches
+                meta={**signature_meta(d),
+                      **({"input_gate": {"gate": "corpus_filter-v1",
+                                         **(cfg.filter_opts or {})}}
+                         if cfg.enable_filter else {})},
             )
             out["signatures"] = signatures
             if until == "signatures":

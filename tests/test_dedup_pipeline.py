@@ -453,3 +453,57 @@ class TestMinhashJaccardEstimate:
         sb = set(np.asarray(sh[sst[1]:sst[2]]).tolist())
         exact = len(sa & sb) / len(sa | sb)
         assert abs(est - exact) < 0.15  # 3.4 sigma at num_perm=128
+
+
+@pytest.mark.spark
+class TestFilterGate:
+    """Opt-in corpus_filter gate before dedup (enable_filter)."""
+
+    @pytest.fixture(scope="class")
+    def gated(self, spark, corpus_dir, tmp_path_factory):
+        import duckdb
+
+        # pick min_chars at the corpus median so the gate provably splits
+        med = duckdb.sql(
+            f"SELECT median(length(text))::INT FROM "
+            f"'{corpus_dir}/documents.parquet'"
+        ).fetchone()[0]
+        work = str(tmp_path_factory.mktemp("work_gated"))
+        opts = {"min_chars": int(med), "require_lang_signal": False}
+        pipe = NearDupPipeline(spark, PipelineConfig(
+            workdir=work, enable_filter=True, filter_opts=opts))
+        out = pipe.run(input_path=corpus_dir, until="clusters")
+        return work, opts, out
+
+    def test_gate_splits_and_downstream_sees_only_kept(self, gated):
+        _, _, out = gated
+        dec = out["filter"]
+        total = dec.count()
+        kept = {r["doc_id"] for r in
+                dec.filter("keep").select("doc_id").collect()}
+        assert total == N_DOCS
+        assert 0 < len(kept) < total  # non-vacuous split
+        clustered = {r["doc_id"] for r in
+                     out["clusters"].select("doc_id").collect()}
+        assert clustered == kept  # every kept doc clustered, no dropped doc
+
+    def test_toggle_fails_resume_loudly(self, spark, corpus_dir, gated):
+        work, _, _ = gated
+        # same workdir, gate now OFF: the signatures checkpoint was
+        # stamped with the gate identity -> resume must refuse, not
+        # silently mix doc sets
+        pipe = NearDupPipeline(spark, PipelineConfig(workdir=work))
+        with pytest.raises(RuntimeError, match="incompatible configuration"):
+            pipe.run(input_path=corpus_dir, until="signatures")
+
+    def test_gate_off_unstamped_compat(self, spark, corpus_dir,
+                                       tmp_path_factory):
+        # gate-off stamps stay byte-identical to pre-gate checkpoints:
+        # a fresh off-run resumes its own workdir without error
+        work = str(tmp_path_factory.mktemp("work_offoff"))
+        cfg = PipelineConfig(workdir=work)
+        NearDupPipeline(spark, cfg).run(input_path=corpus_dir,
+                                        until="signatures")
+        out = NearDupPipeline(spark, cfg).run(input_path=corpus_dir,
+                                              until="signatures")
+        assert out["signatures"].count() > 0
