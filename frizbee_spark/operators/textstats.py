@@ -447,6 +447,19 @@ def hash_split(
     Pure per-row Catalyst — no shuffle; at 100 TB this is a free column
     on whatever scan/join produced ``key_col``.
     """
+    # bucket-arithmetic validation: train+val >= n_buckets silently
+    # yields an EMPTY test split, and n_buckets <= 0 produces nulls —
+    # both are config errors, not splits (ADVICE r3)
+    if n_buckets <= 0:
+        raise ValueError(f"n_buckets must be positive, got {n_buckets}")
+    if not (0 < train_buckets and val_buckets > 0
+            and train_buckets + val_buckets < n_buckets):
+        raise ValueError(
+            "need 0 < train_buckets, 0 < val_buckets, and "
+            f"train_buckets + val_buckets < n_buckets for a non-empty "
+            f"test split; got train={train_buckets} val={val_buckets} "
+            f"n_buckets={n_buckets}"
+        )
     bucket = (
         F.conv(F.substring(
             F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))),

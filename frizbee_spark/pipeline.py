@@ -473,6 +473,7 @@ class NearDupPipeline:
             self.flush_metrics()
             return out
 
+        filter_opts_eff: dict = {}
         if cfg.enable_filter:
             # curation gate: the decision table is a first-class output;
             # every downstream stage (span branch included — `documents`
@@ -482,15 +483,34 @@ class NearDupPipeline:
             # to the corpus.
             from .operators.textstats import corpus_filter
 
+            # the gate must judge the text dedup actually consumes: an
+            # html-only source has no raw 'text' column after the
+            # documents checkpoint (only norm_text), so default the gate
+            # onto whichever exists. The RESOLVED column is stamped into
+            # the signature meta below — two workdirs whose gates read
+            # different columns are different families.
+            filter_opts_eff = dict(cfg.filter_opts or {})
+            filter_opts_eff.setdefault(
+                "text_col",
+                "text" if "text" in documents.columns else "norm_text",
+            )
             decisions = self._stage(
                 "filter",
-                lambda: corpus_filter(documents, **(cfg.filter_opts or {})),
+                lambda: corpus_filter(documents, **filter_opts_eff),
             )
             out["filter"] = decisions
             documents = documents.join(
                 decisions.filter("keep").select("doc_id"), "doc_id", "left_semi"
             )
         if until == "filter":
+            if not cfg.enable_filter:
+                # asking for the gate's decision table with the gate off
+                # would silently return no 'filter' key — every other
+                # stage name implies its stage ran, so this one must too
+                raise ValueError(
+                    "run(until='filter') requires cfg.enable_filter=True "
+                    "(the corpus_filter gate is opt-in)"
+                )
             _join_check()
             self.flush_metrics()
             return out
@@ -558,7 +578,7 @@ class NearDupPipeline:
                 # on<->off toggle of one workdir still mismatches
                 meta={**signature_meta(d),
                       **({"input_gate": {"gate": "corpus_filter-v1",
-                                         **(cfg.filter_opts or {})}}
+                                         **filter_opts_eff}}
                          if cfg.enable_filter else {})},
             )
             out["signatures"] = signatures

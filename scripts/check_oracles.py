@@ -68,6 +68,7 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             print(f"{name}: ERROR {type(e).__name__}: {e}")
             failed.append(name)
+    E.release_clustered_cache()  # session end: drain the ANN corpus cache
     spark.stop()
     print("FAILED:", failed if failed else "none")
     sys.exit(1 if failed else 0)

@@ -392,6 +392,101 @@ class TestSpanExtents:
         assert nt[1][a0 - 1] != nt[2][b0 - 1]
         assert nt[1][a0 + ln] != nt[2][b0 + ln]
 
+    def test_property_fuzz_vs_bruteforce(self, spark):
+        """500 planted shared blocks — random position, length,
+        multiplicity (3-doc groups, double-block pairs) and doc-boundary
+        edge cases (block at offset 0, block at doc end, block == whole
+        doc): span_extents' (a_start, b_start, span_len) must EQUAL a
+        brute-force byte-scan maximal extension of the witness offsets
+        winnow_span_pairs reports (VERDICT r3 item 7). Seeded rng —
+        fully deterministic."""
+        import numpy as np
+
+        from frizbee_spark.operators.dedup import (
+            DedupConfig, span_extents, winnow_span_pairs,
+        )
+
+        rng = np.random.default_rng(20260818)
+        AB = np.frombuffer(b"abcdefghijklmnopqrstuvwxyz", dtype=np.uint8)
+
+        def rand_text(n):
+            return bytes(AB[rng.integers(0, 26, int(n))]).decode()
+
+        docs: dict[int, str] = {}
+        planted: set[tuple[int, int]] = set()
+        nid = 0
+
+        def new_doc(text):
+            nonlocal nid
+            nid += 1
+            docs[nid] = text
+            return nid
+
+        def embed(block, kind):
+            # boundary-position edge cases are forced, not sampled
+            pre = 0 if kind in ("start", "exact") else int(rng.integers(1, 200))
+            post = 0 if kind in ("end", "exact") else int(rng.integers(1, 200))
+            return rand_text(pre) + block + rand_text(post)
+
+        KINDS = ["start", "end", "exact", "mid", "mid"]
+        # 400 simple pairs, all kind combinations cycled through
+        for i in range(400):
+            blk = rand_text(rng.integers(100, 300))
+            a = new_doc(embed(blk, KINDS[i % 5]))
+            b = new_doc(embed(blk, KINDS[(i // 5) % 5]))
+            planted.add((min(a, b), max(a, b)))
+        # 50 multiplicity-3 groups -> complete pair set per group
+        for _ in range(50):
+            blk = rand_text(rng.integers(120, 300))
+            ids = sorted(new_doc(embed(blk, "mid")) for _ in range(3))
+            for x in range(3):
+                for y in range(x + 1, 3):
+                    planted.add((ids[x], ids[y]))
+        # 50 double-block pairs: one witness is chosen; the extent must
+        # be exact for whichever block that witness anchors
+        for _ in range(50):
+            b1, b2 = rand_text(rng.integers(100, 200)), rand_text(
+                rng.integers(100, 200))
+            a = new_doc(rand_text(rng.integers(1, 100)) + b1
+                        + rand_text(rng.integers(30, 100)) + b2
+                        + rand_text(rng.integers(1, 100)))
+            b = new_doc(rand_text(rng.integers(1, 100)) + b1
+                        + rand_text(rng.integers(30, 100)) + b2
+                        + rand_text(rng.integers(1, 100)))
+            planted.add((a, b))
+
+        cfg = DedupConfig(span_min_len=100, span_shingle_k=24,
+                          winnow_window=8)
+        df = spark.createDataFrame(
+            sorted(docs.items()), "doc_id long, text string")
+        wp = winnow_span_pairs(df, cfg, text_col="text", keep_witness=True)
+        witness = {}
+        for r in wp.collect():
+            assert r["span_confirmed"], (r["a"], r["b"])
+            witness[(r["a"], r["b"])] = (r["a_off"], r["b_off"])
+        # full recall of every planted pair, zero chance pairs
+        assert set(witness) == planted
+
+        k = cfg.span_shingle_k
+        ext = span_extents(df, cfg, text_col="text", span_pairs=wp).collect()
+        assert len(ext) == len(planted)
+        for r in ext:
+            a_b, b_b = docs[r["a"]].encode(), docs[r["b"]].encode()
+            ao, bo = witness[(r["a"], r["b"])]
+            left = 0
+            while left < min(ao, bo) and a_b[ao - left - 1] == b_b[bo - left - 1]:
+                left += 1
+            right = 0
+            while (ao + k + right < len(a_b) and bo + k + right < len(b_b)
+                   and a_b[ao + k + right] == b_b[bo + k + right]):
+                right += 1
+            assert (r["a_start"], r["b_start"], r["span_len"]) == (
+                ao - left, bo - left, left + k + right), (r["a"], r["b"])
+            # and the reported block really is byte-identical
+            s = r["span_len"]
+            assert a_b[r["a_start"]:r["a_start"] + s] == \
+                b_b[r["b_start"]:r["b_start"] + s]
+
     def test_pipeline_span_report_on_corpus(self, result):
         _, out, _ = result
         rep = out["span_report"].toPandas()
@@ -495,6 +590,33 @@ class TestFilterGate:
         pipe = NearDupPipeline(spark, PipelineConfig(workdir=work))
         with pytest.raises(RuntimeError, match="incompatible configuration"):
             pipe.run(input_path=corpus_dir, until="signatures")
+
+    def test_until_filter_requires_gate(self, spark, corpus_dir,
+                                        tmp_path_factory):
+        # until="filter" with the gate OFF used to return silently with
+        # no 'filter' key (ADVICE r3) — must raise instead
+        work = str(tmp_path_factory.mktemp("work_nofilter"))
+        pipe = NearDupPipeline(spark, PipelineConfig(workdir=work))
+        with pytest.raises(ValueError, match="enable_filter"):
+            pipe.run(input_path=corpus_dir, until="filter")
+
+    def test_gate_html_only_source_uses_norm_text(self, spark, corpus_dir,
+                                                  tmp_path_factory):
+        # an html-only source has no raw 'text' column after the
+        # documents checkpoint — the gate must fall back to norm_text
+        # (the text dedup actually consumes) instead of erroring on an
+        # unresolved column (ADVICE r3)
+        src = spark.read.parquet(
+            os.path.join(corpus_dir, "documents.parquet")).drop("text")
+        work = str(tmp_path_factory.mktemp("work_htmlonly"))
+        pipe = NearDupPipeline(spark, PipelineConfig(
+            workdir=work, enable_filter=True,
+            filter_opts={"min_chars": 1, "require_lang_signal": False}))
+        out = pipe.run(docs=src, until="filter")
+        dec = out["filter"]
+        assert "text" not in out["documents"].columns  # premise holds
+        assert dec.count() == N_DOCS
+        assert dec.filter("keep").count() > 0
 
     def test_gate_off_unstamped_compat(self, spark, corpus_dir,
                                        tmp_path_factory):

@@ -1,14 +1,21 @@
-"""Multimodal plumbing tests: the decode is stubbed (no PIL/ffmpeg in the
-container) but sniffing, batching, schema, and fan-out are real."""
+"""Multimodal tests: BMP/WAV/PPM decode is REAL (pure NumPy — r4);
+compressed codecs stay stubbed (no PIL/ffmpeg in the container)."""
+
+import struct
 
 import pytest
 from pyspark.sql import functions as F
 
 from frizbee_spark.operators.multimodal import (
+    _decode_bmp,
+    _decode_ppm,
+    _decode_wav,
     decode_media,
     media_stats,
     sample_frames,
     sniff_media_type,
+    synth_media,
+    synth_media_blob,
 )
 
 
@@ -41,21 +48,91 @@ class TestMultimodal:
         assert got[2]["entropy"] < 0.1
         assert got[2]["content_hash"] != got[3]["content_hash"]
 
-    def test_decode_requires_stub_optin(self, media):
+    def test_decode_requires_stub_optin_for_compressed(self, media):
         try:
             import PIL  # noqa: F401
             pytest.skip("PIL unexpectedly present")
         except ImportError:
             pass
-        with pytest.raises(NotImplementedError):
+        # the raise is executor-side (one bad blob names itself), so it
+        # surfaces wrapped in Spark's PythonException — match the message
+        with pytest.raises(Exception, match="allow_stub"):
             decode_media(media).collect()
 
     def test_decode_stub_deterministic(self, media):
+        # every blob in this fixture is compressed/malformed/None ->
+        # all take the stub path (the malformed RIFF has no fmt/data)
         a = sorted(map(tuple, decode_media(media, allow_stub=True).collect()))
         b = sorted(map(tuple, decode_media(media, allow_stub=True).collect()))
         assert a == b
         for row in a:
             assert row[-1] == "stub"  # decoder column marks the fake
+
+    def test_decode_real_roundtrip(self, spark):
+        """Encode->decode round trip over all three real codecs via the
+        Spark operator: planted dims / duration / constant fill must
+        come back exactly (VERDICT r3 item 6 — the stub became real)."""
+        ids = list(range(90))  # 30 of each format, incl. BMP row-padding
+        df = synth_media(spark.range(90).withColumnRenamed("id", "doc_id"))
+        got = {r["doc_id"]: r for r in decode_media(df).collect()}
+        assert len(got) == len(ids)
+        for d in ids:
+            r = got[d]
+            assert r["decoder"] == "numpy"
+            m = d % 3
+            if m == 0:
+                assert (r["media_type"], r["width"], r["height"],
+                        r["n_channels"]) == ("image/bmp", 4 + d % 29,
+                                             3 + d % 17, 3)
+                assert r["mean_value"] == float(d % 251)  # padding excluded
+            elif m == 1:
+                nf = 400 + (d % 37) * 16
+                assert (r["media_type"], r["n_channels"],
+                        r["sample_rate"]) == ("audio/wav", 1 + d % 2, 8000)
+                assert r["duration_s"] == nf / 8000
+                assert r["mean_value"] == float(d % 1000 - 500)
+            else:
+                assert (r["media_type"], r["width"], r["height"],
+                        r["n_channels"]) == ("image/ppm", 5 + d % 23,
+                                             2 + d % 11, 3)
+                assert r["mean_value"] == float(d % 256)
+
+    def test_decode_edge_formats(self):
+        """Driver-side parser edge cases: top-down BMP, 8-bit WAV,
+        P5 PGM with comments, malformed inputs -> None."""
+        w, h, c = 2, 2, 7
+        row = (w * 3 + 3) // 4 * 4
+        hdr = (b"BM" + struct.pack("<IHHI", 54 + row * h, 0, 0, 54)
+               + struct.pack("<IiiHHIIiiII", 40, w, -h, 1, 24, 0,
+                             row * h, 0, 0, 0, 0))
+        px = bytearray(row * h)
+        for r in range(h):
+            px[r * row:r * row + w * 3] = bytes([c]) * (w * 3)
+        assert _decode_bmp(hdr + bytes(px)) == (
+            "image/bmp", 2, 2, 3, 0, 0.0, 7.0)
+
+        data = bytes([200]) * 16
+        wav = (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+               + b"fmt " + struct.pack("<I", 16)
+               + struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+               + b"data" + struct.pack("<I", len(data)) + data)
+        assert _decode_wav(wav) == ("audio/wav", 0, 0, 1, 8000, 0.002, 200.0)
+
+        assert _decode_ppm(b"P5\n# c\n3 2\n255\n" + bytes([9]) * 6) == (
+            "image/pgm", 3, 2, 1, 0, 0.0, 9.0)
+
+        # malformed: bogus RIFF chunk, truncated BMP, short PPM
+        assert _decode_wav(b"RIFF\x24\x00\x00\x00WAVE" + b"\x22" * 9000) is None
+        assert _decode_bmp(synth_media_blob(0)[:40]) is None
+        assert _decode_ppm(b"P6\n3 2\n255\n" + b"\x00" * 5) is None
+
+    def test_sniff_new_formats(self, spark):
+        rows = [(1, synth_media_blob(0)), (2, synth_media_blob(1)),
+                (3, synth_media_blob(2))]
+        df = spark.createDataFrame(rows, "doc_id long, media binary")
+        got = {r["doc_id"]: r["media_type"]
+               for r in sniff_media_type(df).collect()}
+        assert got == {1: "image/bmp", 2: "audio/wav", 3: "image/ppm"}
 
     def test_sample_frames_fanout(self, media):
         got = sample_frames(media, every_n_bytes=1000, max_frames=4).collect()

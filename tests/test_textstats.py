@@ -256,6 +256,22 @@ class TestHashSplit:
         assert splits == {"train", "val", "test"}
         assert all(0 <= r["split_bucket"] < 10 for r in a)
 
+    def test_bucket_arithmetic_validated(self, spark):
+        # train+val >= n_buckets silently yielded an EMPTY test split,
+        # n_buckets <= 0 produced nulls (ADVICE r3) — both must raise
+        from frizbee_spark.operators.textstats import hash_split
+
+        df = spark.createDataFrame(
+            [(i, i) for i in range(5)], "doc_id long, cluster_id long")
+        with pytest.raises(ValueError, match="test split"):
+            hash_split(df, "cluster_id", n_buckets=10,
+                       train_buckets=9, val_buckets=1)
+        with pytest.raises(ValueError, match="n_buckets"):
+            hash_split(df, "cluster_id", n_buckets=0)
+        with pytest.raises(ValueError, match="test split"):
+            hash_split(df, "cluster_id", n_buckets=10,
+                       train_buckets=0, val_buckets=1)
+
     def test_stable_under_append(self, spark):
         from frizbee_spark.operators.textstats import hash_split
 
