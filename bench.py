@@ -145,6 +145,19 @@ def main() -> None:
 
             release_tracked()
 
+        # ann_topk steady state: the per-query walls above are COLD
+        # (first invocation of each plan shape in the session — every
+        # query pays its own whole-stage-codegen compile + broadcast
+        # warmup once, which for ann_topk's 3-stage candidate path is
+        # several seconds on this host). A second invocation times the
+        # search itself; recorded as its own line so rounds can compare
+        # both (VERDICT r3 "What's wrong" #2: explain the ann_topk wall).
+        fn = E.queries()["ann_topk"]
+        t0 = time.monotonic()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings["ann_topk_steady"] = round(time.monotonic() - t0, 3)
+        release_tracked()
+
         # session end: drain the session-scoped ANN corpus cache too
         E.release_clustered_cache()
 

@@ -186,6 +186,17 @@ def ann_topk(
         buckets.join(F.broadcast(probe_df), ["table_id", "bucket"])
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", "vec_id")
+        # partition the candidate stream by vec_id BEFORE the distinct:
+        # hash(vec_id) satisfies the distinct's clustering requirement on
+        # (query_id, vec_id) — vec_id is a subset of the keys — so the
+        # dedup adds no exchange of its own, and at scale (corpus too big
+        # for AQE to broadcast) the vec_id join below reuses this same
+        # partitioning instead of shuffling the deduped candidates a
+        # second time: 2 candidate-path exchanges (vec_id, then the
+        # query_id window) instead of 3. The shuffled payload is the raw
+        # (query_id, vec_id) pairs (<= n_tables x the deduped set, 16-byte
+        # rows) — cheaper than a whole extra shuffle stage.
+        .repartition("vec_id")
         .dropDuplicates(["query_id", "vec_id"])
     )
     queries = spark.createDataFrame(
