@@ -142,8 +142,15 @@ def main() -> None:
     r_big = min(rs_big, key=lambda r: r["dedup_wall_sec"])
     tp_small, tp_big = r_small["value"], r_big["value"]
     eff = tp_big / (tp_small * (n_big / n_small))
-    cpu_ceiling = max(ceilings)
-    bw_ceiling = max(bw_ceilings)
+    # a strong-scaling ceiling cannot physically exceed 1.0 — a probe
+    # ratio above it means the SMALL-width probe was starved by a host
+    # stall during its 4s window (observed: a 23x DRAM "ratio" when the
+    # 2-wide copy probe momentarily measured ~1/20 of its normal GB/s).
+    # The raw list is still reported verbatim; only the summary ceiling
+    # (and hence the guard floor) is clamped, which can only make the
+    # guard STRICTER (floor is min(0.8, 0.95*ceiling)).
+    cpu_ceiling = min(1.0, max(ceilings))
+    bw_ceiling = min(1.0, max(bw_ceilings))
 
     result = {
         "metric": "scaling_efficiency_Nx4",
