@@ -277,6 +277,17 @@ def q_tfidf_topterms(spark, sf_dir):
     return tfidf_topterms(_docs(spark, sf_dir), top_m=3)
 
 
+def q_lm_perplexity(spark, sf_dir):
+    """Bigram-LM cross-entropy/perplexity per doc under a Laplace-smoothed
+    model trained on the corpus itself — the CCNet/Gopher-style
+    perplexity filter signal. Per-bigram log-probs round to 6 decimals
+    and sum as DECIMAL, so the 4-decimal outputs are partition-order- and
+    engine-independent (see textstats.lm_perplexity)."""
+    from frizbee_spark.operators.textstats import lm_perplexity
+
+    return lm_perplexity(_docs(spark, sf_dir))
+
+
 def q_language_id(spark, sf_dir):
     from frizbee_spark.operators.textstats import language_id
 
@@ -682,6 +693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_filter": q_corpus_filter,
         "cluster_split": q_cluster_split,
         "tfidf_topterms": q_tfidf_topterms,
+        "lm_perplexity": q_lm_perplexity,
         "language_id": q_language_id,
         "doc_fingerprint": q_doc_fingerprint,
         "embedding_topk": q_embedding_topk,
@@ -1048,6 +1060,38 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored
             )
             SELECT doc_id, term, tfidf, rank FROM r WHERE rank <= 3
+        """,
+        "lm_perplexity": """
+            WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS w
+                       FROM documents),
+            big AS (
+                SELECT doc_id, w[i] || ' ' || w[i + 1] AS bg
+                FROM t, unnest(generate_series(1, len(w) - 1)) AS s(i)
+            ),
+            uni AS (
+                SELECT u AS w1, count(*)::BIGINT AS c1
+                FROM t, unnest(w) AS s(u) GROUP BY 1
+            ),
+            v AS (SELECT count(*)::BIGINT AS vsz FROM uni),
+            model AS (
+                SELECT bgc.bg,
+                       CAST(round(log2(bgc.c12 + 1) - log2(uni.c1 + v.vsz), 6)
+                            AS DECIMAL(20,6)) AS lp
+                FROM (SELECT bg, count(*)::BIGINT AS c12 FROM big GROUP BY 1) bgc
+                JOIN uni ON uni.w1 = split_part(bgc.bg, ' ', 1)
+                CROSS JOIN v
+            ),
+            scored AS (
+                SELECT b.doc_id, count(*)::BIGINT AS n_bigrams,
+                       sum(m.lp) AS slp
+                FROM big b JOIN model m USING (bg)
+                GROUP BY 1
+            )
+            SELECT doc_id, n_bigrams,
+                   round(-CAST(slp AS DOUBLE) / n_bigrams, 4) AS cross_entropy,
+                   round(pow(2.0, round(-CAST(slp AS DOUBLE) / n_bigrams, 4)),
+                         4) AS perplexity
+            FROM scored
         """,
         "quality_score": f"""
             WITH t AS (

@@ -133,7 +133,7 @@ def main() -> None:
             "greedy_match", "canonical_docs", "media_stats",
             "embedding_near_dups", "winnow_span_pairs",
             "ngram_contamination", "dup_chunks", "minhash_jaccard_est",
-            "corpus_filter", "tfidf_topterms",
+            "corpus_filter", "tfidf_topterms", "lm_perplexity",
         ):
             fn = E.queries()[name]
             t0 = time.monotonic()

@@ -474,6 +474,85 @@ def hash_split(
     return df.withColumn("split_bucket", bucket).withColumn("split", split)
 
 
+def lm_perplexity(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document bigram-LM cross-entropy / perplexity under a model
+    trained on the corpus itself — the classic "perplexity filter"
+    curation signal (docs that surprise a corpus-level n-gram model are
+    boilerplate, gibberish, or off-distribution; CCNet/Gopher-style
+    pipelines threshold on exactly this). Laplace-smoothed bigram model:
+    P(w2|w1) = (c(w1 w2) + 1) / (c(w1) + V), V = unigram vocabulary size.
+
+    Output: (doc_id, n_bigrams, cross_entropy, perplexity) for every doc
+    with at least one bigram (>= 2 tokens); cross_entropy is the mean
+    -log2 P over the doc's bigrams, perplexity = 2^cross_entropy.
+
+    Plan shape (scale notes): model build is two map-side-combined
+    aggregates (bigram counts keyed by the bigram string, unigram counts
+    keyed by token) plus ONE model-sized join attaching c(w1) to each
+    bigram row (AQE broadcasts the unigram side when the vocab fits);
+    V arrives via a 1-row broadcast cross join, not a driver action.
+    Scoring is one equi-join of the exploded (doc_id, bigram) stream
+    against the model and one doc_id-keyed aggregate — the text itself
+    never shuffles, only bigram keys and counts. Zipfian hot bigrams
+    ("of the") skew the scoring join's probe side; the build side is one
+    row per key, so AQE's skew-join split applies cleanly. Like
+    tfidf_topterms, the bigram subtree is deliberately evaluated twice
+    (model build + scoring) rather than persisting a TB-scale exploded
+    intermediate.
+
+    Determinism across engines (the DuckDB oracle hash-matches): the
+    per-bigram log-prob is rounded to 6 decimals, then summed as
+    DECIMAL(20,6) — exact, order-independent addition — so partition
+    order can never flip the 4-decimal rounded outputs.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    docs = df.select(F.col(id_col).alias("doc_id"), toks.alias("tk"))
+    n = F.size("tk")
+    bigrams = docs.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice("tk", 1, F.greatest(n - 1, F.lit(0))),
+                F.slice("tk", 2, F.greatest(n - 1, F.lit(0))),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("bg"),
+    )
+    uni = (
+        docs.select(F.explode("tk").alias("w"))
+        .groupBy("w").agg(F.count("*").alias("c1"))
+    )
+    vocab = uni.select(F.count("*").alias("_v"))
+    model = (
+        bigrams.groupBy("bg").agg(F.count("*").alias("c12"))
+        .withColumn("w1", F.substring_index(F.col("bg"), " ", 1))
+        .join(uni, F.col("w1") == F.col("w"))
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "bg",
+            F.round(
+                F.log2(F.col("c12") + 1) - F.log2(F.col("c1") + F.col("_v")), 6
+            ).cast("decimal(20,6)").alias("lp"),
+        )
+    )
+    scored = (
+        bigrams.join(model, "bg")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_bigrams"), F.sum("lp").alias("_slp"))
+    )
+    h = F.round(-F.col("_slp").cast("double") / F.col("n_bigrams"), 4)
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        h.alias("cross_entropy"),
+        F.round(F.pow(F.lit(2.0), h), 4).alias("perplexity"),
+    )
+
+
 def tfidf_topterms(
     df: DataFrame,
     id_col: str = "doc_id",

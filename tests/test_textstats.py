@@ -312,3 +312,66 @@ class TestTfidfTopterms:
         assert got.filter("rank > 3 or rank < 1").count() == 0
         per_doc = got.groupBy("doc_id").agg(F.count("*").alias("n"))
         assert per_doc.filter("n > 3").count() == 0
+
+
+class TestLmPerplexity:
+    def test_matches_brute_force_reference(self, spark):
+        import math
+        from collections import Counter
+
+        from frizbee_spark.operators.textstats import lm_perplexity
+
+        rows = [
+            (1, "the cat sat on the mat"),
+            (2, "the cat sat on the cat"),
+            (3, "a dog ran past the cat"),
+            (4, "gibberish zq xv qq zq"),
+            (5, "the the the the"),
+        ]
+        texts = {i: t.split() for i, t in rows}
+        uni = Counter(w for tk in texts.values() for w in tk)
+        big = Counter(
+            (tk[i], tk[i + 1])
+            for tk in texts.values() for i in range(len(tk) - 1)
+        )
+        V = len(uni)
+        # mirror the operator's determinism contract: per-bigram log-prob
+        # rounds to 6 decimals before the (exact) sum
+        lp = {
+            bg: round(math.log2(c + 1) - math.log2(uni[bg[0]] + V), 6)
+            for bg, c in big.items()
+        }
+        expected = {}
+        for i, tk in texts.items():
+            lps = [lp[(tk[j], tk[j + 1])] for j in range(len(tk) - 1)]
+            h = round(-sum(lps) / len(lps), 4)
+            expected[i] = (len(lps), h, round(2.0 ** h, 4))
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["n_bigrams"], r["cross_entropy"], r["perplexity"])
+            for r in lm_perplexity(df).collect()
+        }
+        assert got == expected
+
+    def test_short_docs_excluded_and_ordering_signal(self, spark):
+        from frizbee_spark.operators.textstats import lm_perplexity
+
+        df = spark.createDataFrame(
+            [
+                (1, "one"),                       # 1 token -> no bigrams
+                (2, ""),                          # empty -> no bigrams
+                (3, "the cat sat on the mat and the cat sat again"),
+                (4, "the cat sat on the mat and the cat sat again"),
+                (5, "zq qq xv jj kk ww yy uu oo pp"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {r["doc_id"]: r for r in lm_perplexity(df).collect()}
+        assert set(got) == {3, 4, 5}
+        # identical docs score identically; the repeated in-distribution
+        # doc is less surprising than the one-off junk doc
+        assert got[3]["cross_entropy"] == got[4]["cross_entropy"]
+        assert got[5]["cross_entropy"] > got[3]["cross_entropy"]
+        for r in got.values():
+            assert r["perplexity"] == round(2.0 ** r["cross_entropy"], 4)
