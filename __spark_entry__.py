@@ -277,6 +277,20 @@ def q_tfidf_topterms(spark, sf_dir):
     return tfidf_topterms(_docs(spark, sf_dir), top_m=3)
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-language downsampling for corpus mixing (en
+    halved, de kept, fr quartered, everything else — es/zh on the
+    fixture — at the 10% default), with importance weights. md5-integer
+    thresholding: engine-portable, append-stable, nested across rates."""
+    from frizbee_spark.operators.textstats import stratified_sample
+
+    return stratified_sample(
+        _docs(spark, sf_dir),
+        rates={"en": 0.5, "de": 1.0, "fr": 0.25},
+        default_rate=0.1,
+    ).select("doc_id", "lang", "source", "sample_u", "sample_weight")
+
+
 def q_lm_perplexity(spark, sf_dir):
     """Bigram-LM cross-entropy/perplexity per doc under a Laplace-smoothed
     model trained on the corpus itself — the CCNet/Gopher-style
@@ -694,6 +708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_split": q_cluster_split,
         "tfidf_topterms": q_tfidf_topterms,
         "lm_perplexity": q_lm_perplexity,
+        "stratified_sample": q_stratified_sample,
         "language_id": q_language_id,
         "doc_fingerprint": q_doc_fingerprint,
         "embedding_topk": q_embedding_topk,
@@ -1060,6 +1075,23 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored
             )
             SELECT doc_id, term, tfidf, rank FROM r WHERE rank <= 3
+        """,
+        "stratified_sample": """
+            WITH s AS (
+                SELECT doc_id, lang, source,
+                       ((('0x' || substr(md5('sample:' || doc_id::VARCHAR),
+                                         1, 15))::UBIGINT)::BIGINT
+                        % 1000000) AS u,
+                       CASE lang WHEN 'en' THEN 500000
+                                 WHEN 'de' THEN 1000000
+                                 WHEN 'fr' THEN 250000
+                                 ELSE 100000 END AS thr
+                FROM documents
+            )
+            SELECT doc_id, lang, source,
+                   round(u / 1000000.0, 6) AS sample_u,
+                   round(1000000.0 / thr, 6) AS sample_weight
+            FROM s WHERE u < thr
         """,
         "lm_perplexity": """
             WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS w

@@ -134,6 +134,7 @@ def main() -> None:
             "embedding_near_dups", "winnow_span_pairs",
             "ngram_contamination", "dup_chunks", "minhash_jaccard_est",
             "corpus_filter", "tfidf_topterms", "lm_perplexity",
+            "stratified_sample",
         ):
             fn = E.queries()[name]
             t0 = time.monotonic()

@@ -474,6 +474,58 @@ def hash_split(
     return df.withColumn("split_bucket", bucket).withColumn("split", split)
 
 
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    stratum_col: str = "lang",
+    default_rate: float = 0.0,
+    id_col: str = "doc_id",
+    salt: str = "sample:",
+) -> DataFrame:
+    """Deterministic per-stratum downsampling — the corpus-mixing
+    primitive (rebalance languages/sources to target proportions before
+    training). Row kept iff its md5-derived uniform falls below the
+    stratum's rate; adds ``sample_u`` (the uniform, 6 decimals) and
+    ``sample_weight`` (1/rate — the importance weight that makes
+    downstream statistics unbiased after sampling).
+
+    Like :func:`hash_split`: portable (md5 arithmetic is identical in
+    any engine), stable under re-runs and appends (a row's fate depends
+    only on its id and the salt — growing the corpus never flips
+    previously kept rows), and monotone in the rate (raising a stratum's
+    rate only ADDS rows, so staged experiments nest: the 10% sample is a
+    subset of the 50% sample). Pure per-row Catalyst — no shuffle; at
+    100 TB this is a free filter on the scan, and the parquet reader
+    prunes to (id, stratum) + whatever the caller selects.
+
+    The uniform compares as an INTEGER in [0, 1e6) against
+    round(rate * 1e6) — no float-boundary ambiguity between engines.
+    """
+    for k, r in list(rates.items()) + [("<default>", default_rate)]:
+        if not (0.0 <= r <= 1.0):
+            raise ValueError(f"rate for {k!r} must be in [0, 1], got {r}")
+    res = 1_000_000
+    u = (
+        F.conv(F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))),
+            1, 15), 16, 10)
+        .cast("long") % res
+    )
+    thr = F.lit(int(round(default_rate * res)))
+    for k, r in sorted(rates.items()):
+        thr = F.when(F.col(stratum_col) == k, int(round(r * res))).otherwise(thr)
+    return (
+        df.withColumn("_u", u)
+        .filter(F.col("_u") < thr)
+        .withColumn("sample_u", F.round(F.col("_u") / res, 6))
+        .withColumn(
+            "sample_weight",
+            F.round(F.lit(float(res)) / thr.cast("double"), 6),
+        )
+        .drop("_u")
+    )
+
+
 def lm_perplexity(
     df: DataFrame,
     id_col: str = "doc_id",

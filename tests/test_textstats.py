@@ -375,3 +375,67 @@ class TestLmPerplexity:
         assert got[5]["cross_entropy"] > got[3]["cross_entropy"]
         for r in got.values():
             assert r["perplexity"] == round(2.0 ** r["cross_entropy"], 4)
+
+
+class TestStratifiedSample:
+    def test_rates_and_weights(self, spark):
+        from frizbee_spark.operators.textstats import stratified_sample
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        out = stratified_sample(
+            docs, rates={"en": 0.5, "de": 1.0, "fr": 0.25}, default_rate=0.1
+        ).select("doc_id", "lang", "sample_u", "sample_weight").collect()
+        by_lang = {}
+        for r in out:
+            by_lang.setdefault(r["lang"], []).append(r)
+        # rate-1.0 stratum keeps every row; weights are exactly 1/rate
+        n_de = docs.filter("lang = 'de'").count()
+        assert len(by_lang["de"]) == n_de
+        weights = {r["lang"]: r["sample_weight"] for r in out}
+        assert weights["de"] == 1.0 and weights["en"] == 2.0
+        assert weights["fr"] == 4.0
+        for lang in set(weights) - {"de", "en", "fr"}:
+            assert weights[lang] == 10.0
+        # every kept row's uniform sits below its stratum rate
+        rate = {"en": 0.5, "de": 1.0, "fr": 0.25}
+        for r in out:
+            assert r["sample_u"] < rate.get(r["lang"], 0.1)
+
+    def test_deterministic_append_stable_and_nested(self, spark):
+        from frizbee_spark.operators.textstats import stratified_sample
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        kept_small = {
+            r["doc_id"] for r in
+            stratified_sample(docs, rates={"en": 0.1}).collect()
+        }
+        kept_big = {
+            r["doc_id"] for r in
+            stratified_sample(docs, rates={"en": 0.5}).collect()
+        }
+        # monotone in the rate: raising it only ADDS rows
+        assert kept_small <= kept_big
+        # append-stable: sampling half the corpus agrees with sampling
+        # all of it on the shared rows (a row's fate ignores the rest)
+        half = docs.filter("doc_id % 2 = 0")
+        kept_half = {
+            r["doc_id"] for r in
+            stratified_sample(half, rates={"en": 0.5}).collect()
+        }
+        assert kept_half == {d for d in kept_big if d % 2 == 0}
+        # re-run identical
+        assert kept_big == {
+            r["doc_id"] for r in
+            stratified_sample(docs, rates={"en": 0.5}).collect()
+        }
+
+    def test_rate_validation(self, spark):
+        import pytest as _pytest
+
+        from frizbee_spark.operators.textstats import stratified_sample
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        with _pytest.raises(ValueError):
+            stratified_sample(docs, rates={"en": 1.5})
+        with _pytest.raises(ValueError):
+            stratified_sample(docs, rates={"en": 0.5}, default_rate=-0.1)
