@@ -38,6 +38,10 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
 
 
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+
+
 def _norm_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from frizbee_spark.operators.dedup import normalize_text
 
@@ -275,6 +279,26 @@ def q_tfidf_topterms(spark, sf_dir):
     from frizbee_spark.operators.textstats import tfidf_topterms
 
     return tfidf_topterms(_docs(spark, sf_dir), top_m=3)
+
+
+def q_user_sessions(spark, sf_dir):
+    """Gap sessionization (30-min timeout) of the events stream — one
+    user-keyed shuffle shared by the lag window, the running session
+    counter, and the session aggregate (operators/events.sessionize).
+    Epoch-microsecond outputs keep the compare timezone-proof; decimal
+    value sums keep it partition-order-proof."""
+    from frizbee_spark.operators.events import sessionize
+
+    return sessionize(_events(spark, sf_dir), gap_s=1800)
+
+
+def q_event_rates(spark, sf_dir):
+    """Tumbling 1-hour rollup per event type (batch form of a streaming
+    window aggregation): one map-side-combined aggregate on time-bounded
+    keys (operators/events.event_rates)."""
+    from frizbee_spark.operators.events import event_rates
+
+    return event_rates(_events(spark, sf_dir), window_s=3600)
 
 
 def q_stratified_sample(spark, sf_dir):
@@ -709,6 +733,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topterms": q_tfidf_topterms,
         "lm_perplexity": q_lm_perplexity,
         "stratified_sample": q_stratified_sample,
+        "user_sessions": q_user_sessions,
+        "event_rates": q_event_rates,
         "language_id": q_language_id,
         "doc_fingerprint": q_doc_fingerprint,
         "embedding_topk": q_embedding_topk,
@@ -1075,6 +1101,47 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored
             )
             SELECT doc_id, term, tfidf, rank FROM r WHERE rank <= 3
+        """,
+        "user_sessions": """
+            WITH e AS (
+                SELECT user_id, event_id, epoch_us(ts) AS us,
+                       CAST(round(value, 2) AS DECIMAL(18,2)) AS val
+                FROM events
+            ),
+            l AS (
+                SELECT *, lag(us) OVER (
+                    PARTITION BY user_id ORDER BY us, event_id
+                ) AS prev
+                FROM e
+            ),
+            f AS (
+                SELECT *, CASE WHEN prev IS NULL
+                                 OR us - prev > 1800 * 1000000
+                               THEN 1 ELSE 0 END AS is_new
+                FROM l
+            ),
+            s AS (
+                SELECT *, sum(is_new) OVER (
+                    PARTITION BY user_id ORDER BY us, event_id
+                    ROWS UNBOUNDED PRECEDING
+                )::BIGINT AS session_n
+                FROM f
+            )
+            SELECT user_id, session_n,
+                   min(us) AS session_start_us,
+                   max(us) AS session_end_us,
+                   count(*)::BIGINT AS n_events,
+                   round(CAST(sum(val) AS DOUBLE), 2) AS total_value
+            FROM s GROUP BY 1, 2
+        """,
+        "event_rates": """
+            SELECT epoch_us(ts) - epoch_us(ts) % (3600::BIGINT * 1000000)
+                       AS window_start_us,
+                   event_type,
+                   count(*)::BIGINT AS n_events,
+                   round(CAST(sum(CAST(round(value, 2) AS DECIMAL(18,2)))
+                              AS DOUBLE), 2) AS total_value
+            FROM events GROUP BY 1, 2
         """,
         "stratified_sample": """
             WITH s AS (

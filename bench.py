@@ -134,7 +134,7 @@ def main() -> None:
             "embedding_near_dups", "winnow_span_pairs",
             "ngram_contamination", "dup_chunks", "minhash_jaccard_est",
             "corpus_filter", "tfidf_topterms", "lm_perplexity",
-            "stratified_sample",
+            "stratified_sample", "user_sessions", "event_rates",
         ):
             fn = E.queries()[name]
             t0 = time.monotonic()

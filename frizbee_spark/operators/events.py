@@ -1,0 +1,119 @@
+"""Event-stream operators — gap sessionization and windowed rollups.
+
+A web-scale ingestion pipeline carries interaction/telemetry streams next
+to the document corpus (the driver tables ship an ``events`` table:
+event_id, ts, user_id, event_type, value, props). These operators are the
+batch form of the classic stateful streaming computations; both compile
+to pure Catalyst window/aggregate plans with exact ANSI-SQL oracles. The
+streaming twin of :func:`sessionize` is Structured Streaming's
+``session_window`` (or ``applyInPandasWithState`` for richer state) over
+the same gap rule — the batch operator is the replayable backfill of that
+stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _epoch_us(df: DataFrame, ts_col: str):
+    """Epoch microseconds for either timestamp flavor. Parquet stamps
+    written without the adjusted-to-UTC flag surface as TIMESTAMP_NTZ
+    (naive), where ``unix_micros`` is a type error and a cast to
+    TIMESTAMP would silently re-interpret through the session timezone.
+    Naive calendar arithmetic against the NTZ epoch is timezone-free by
+    construction and matches DuckDB's ``epoch_us`` of the same naive
+    value; instants (TIMESTAMP) take ``unix_micros``, which is already
+    timezone-independent."""
+    if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+        return F.expr(
+            "timestampdiff(MICROSECOND, "
+            f"TIMESTAMP_NTZ '1970-01-01 00:00:00', `{ts_col}`)"
+        )
+    return F.unix_micros(F.col(ts_col))
+
+
+def sessionize(
+    df: DataFrame,
+    gap_s: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Gap-based sessions: a new session starts when the gap to the
+    user's previous event exceeds ``gap_s`` seconds (strictly greater —
+    events exactly ``gap_s`` apart stay in one session).
+
+    Output: one row per (user_id, session_n) with session_start_us /
+    session_end_us (epoch microseconds — integers, so the oracle compare
+    is timezone-proof), n_events, and total_value (the per-event values
+    rounded to 2 decimals and summed as DECIMAL(18,2): exact,
+    order-independent addition, same discipline as lm_perplexity).
+
+    Plan shape: ONE shuffle. The lag + running-sum windows hash-partition
+    by user_id, and the closing groupBy on (user_id, session_n) is
+    satisfied by that same partitioning (subset key), so Catalyst chains
+    window -> window -> aggregate inside a single exchange. Per-user
+    state never crosses partitions; skewed users (bots with 10^6 events)
+    cost one partition's sort, not a replan — cap upstream if that
+    matters. Deterministic: ordering ties on (ts, event_id).
+    """
+    gap_us = int(gap_s) * 1_000_000
+    w = Window.partitionBy(user_col).orderBy("_us", id_col)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev = (
+        df.select(
+            F.col(user_col).alias("user_id"),
+            F.col(id_col).alias("event_id"),
+            _epoch_us(df, ts_col).alias("_us"),
+            F.round(F.col(value_col), 2).cast("decimal(18,2)").alias("_val"),
+        )
+        .withColumn("_prev", F.lag("_us").over(w))
+        .withColumn(
+            "_new",
+            (F.col("_prev").isNull()
+             | (F.col("_us") - F.col("_prev") > gap_us)).cast("int"),
+        )
+        .withColumn("session_n", F.sum("_new").over(run))
+    )
+    return (
+        ev.groupBy("user_id", "session_n")
+        .agg(
+            F.min("_us").alias("session_start_us"),
+            F.max("_us").alias("session_end_us"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("_val").cast("double"), 2).alias("total_value"),
+        )
+    )
+
+
+def event_rates(
+    df: DataFrame,
+    window_s: int = 3600,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Tumbling-window rollup per event type: event count and decimal-
+    exact value sum per (window_start_us, event_type) — the batch form of
+    a ``groupBy(window(ts), type)`` streaming aggregation. One map-side-
+    combined aggregate; the shuffle key (window, type) is time-bounded,
+    so no key grows with history length.
+    """
+    win_us = int(window_s) * 1_000_000
+    us = _epoch_us(df, ts_col)
+    return (
+        df.select(
+            # integer arithmetic (us - us % win), not floor(us/win)*win:
+            # exact in both engines, no float-boundary rounding
+            (us - us % win_us).alias("window_start_us"),
+            F.col(type_col).alias("event_type"),
+            F.round(F.col(value_col), 2).cast("decimal(18,2)").alias("_val"),
+        )
+        .groupBy("window_start_us", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("_val").cast("double"), 2).alias("total_value"),
+        )
+    )

@@ -1,0 +1,94 @@
+"""Event-stream operator tests: gap semantics, decimal sums, plan shape."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from frizbee_spark.operators.events import event_rates, sessionize
+
+
+def _ts(s):
+    return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    rows = [
+        # user 1: events at 0s, 1800s (exactly the gap — SAME session),
+        # then 3601+1800s later (new session)
+        (1, _ts(0), 1, "view", 1.11),
+        (2, _ts(1800), 1, "click", 2.22),
+        (3, _ts(1800 + 1801), 1, "view", 3.33),
+        # user 2: single event
+        (4, _ts(500), 2, "error", 10.004),  # rounds to 10.0
+        # user 3: tie-breaking on event_id at identical ts
+        (5, _ts(100), 3, "view", 1.0),
+        (6, _ts(100), 3, "view", 2.0),
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, "
+              "event_type string, value double"
+    )
+
+
+class TestSessionize:
+    def test_gap_semantics_hand_checked(self, events):
+        got = {
+            (r["user_id"], r["session_n"]): r
+            for r in sessionize(events, gap_s=1800).collect()
+        }
+        assert set(got) == {(1, 1), (1, 2), (2, 1), (3, 1)}
+        s11 = got[(1, 1)]
+        # gap == 1800s exactly stays in one session (strictly-greater rule)
+        assert s11["n_events"] == 2 and s11["total_value"] == 3.33
+        assert s11["session_end_us"] - s11["session_start_us"] == 1800 * 10**6
+        s12 = got[(1, 2)]
+        assert s12["n_events"] == 1 and s12["total_value"] == 3.33
+        assert got[(2, 1)]["total_value"] == 10.0  # rounded before the sum
+        assert got[(3, 1)]["n_events"] == 2
+
+    def test_single_shuffle_plan(self, events):
+        plan = (
+            sessionize(events)._jdf.queryExecution().executedPlan().toString()
+        )
+        # the lag window, running session counter, and session aggregate
+        # must all reuse ONE user_id exchange (subset-key satisfaction)
+        assert plan.count("Exchange hashpartitioning") == 1
+
+    def test_matches_oracle_fixture(self, spark):
+        # the sf0.001 driver fixture: every event lands in exactly one
+        # session and session bounds tile the user's event timeline
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        ses = sessionize(ev, gap_s=1800)
+        assert (
+            ses.agg(F.sum("n_events")).collect()[0][0] == ev.count()
+        )
+        overlap = (
+            ses.alias("a").join(
+                ses.alias("b"),
+                (F.col("a.user_id") == F.col("b.user_id"))
+                & (F.col("a.session_n") < F.col("b.session_n"))
+                & (F.col("b.session_start_us")
+                   <= F.col("a.session_end_us") + 1800 * 10**6),
+            )
+        )
+        assert overlap.count() == 0  # consecutive sessions gap > 1800s
+
+
+class TestEventRates:
+    def test_tumbling_windows_hand_checked(self, events):
+        got = {
+            (r["window_start_us"], r["event_type"]): r
+            for r in event_rates(events, window_s=3600).collect()
+        }
+        epoch0 = int(_ts(0).replace(tzinfo=dt.timezone.utc).timestamp()) * 10**6
+        # hour 0: views at 0s/100s/100s + click at 1800s + error at 500s
+        assert got[(epoch0, "view")]["n_events"] == 3
+        assert got[(epoch0, "view")]["total_value"] == round(1.11 + 1.0 + 2.0, 2)
+        assert got[(epoch0, "click")]["n_events"] == 1
+        # hour 1: the 3601+1800s view
+        assert got[(epoch0 + 3600 * 10**6, "view")]["n_events"] == 1
+        # window starts align to the hour grid
+        for (w, _t) in got:
+            assert w % (3600 * 10**6) == 0
