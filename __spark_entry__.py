@@ -697,6 +697,28 @@ def q_span_extents(spark, sf_dir):
     return span_extents(_norm_docs(spark, sf_dir), _dedup_cfg()).orderBy("a", "b")
 
 
+# fuzzy-join needle dictionary: ids are stable handles, strings are
+# in-distribution phrases of different lengths/routes
+FUZZY_JOIN_NEEDLES = [(1, FUZZY_NEEDLE), (2, "spark query"), (3, "merge batch")]
+
+
+def q_fuzzy_join(spark, sf_dir):
+    """Dictionary-vs-corpus fuzzy join (operators/fuzzy.fuzzy_join): the
+    3-needle set broadcast, documents scanned once, per-needle top-50 via
+    WindowGroupLimit. Typo budget = longest needle length — non-binding
+    (a needle's traceback count never exceeds its own length), it only
+    forces real typo counts, mirroring q_fuzzy_match."""
+    from frizbee_spark.constants import MatchConfig
+    from frizbee_spark.operators.fuzzy import fuzzy_join
+
+    max_len = max(len(ns) for _, ns in FUZZY_JOIN_NEEDLES)
+    return fuzzy_join(
+        _docs(spark, sf_dir), FUZZY_JOIN_NEEDLES,
+        text_col="text", id_cols=["doc_id"],
+        config=MatchConfig(max_typos=max_len), per_needle_limit=50,
+    )
+
+
 def q_fuzzy_match(spark, sf_dir):
     """Needle search over documents. The typo budget is non-binding
     (= needle length, the traceback's upper bound), so no row is ever
@@ -752,6 +774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_exact_pairs": q_span_exact_pairs,
         "span_extents": q_span_extents,
         "fuzzy_match": q_fuzzy_match,
+        "fuzzy_join": q_fuzzy_join,
     }
 
 
@@ -1344,6 +1367,13 @@ def oracle_sql() -> dict[str, str]:
         "sw_verified_pairs": _sql_oracles().sw_verified_pairs_sql(_dedup_cfg()),
         "dedup_clusters": _sql_oracles().dedup_clusters_sql(_dedup_cfg()),
         "fuzzy_match": _sql_oracles().fuzzy_match_sql(FUZZY_NEEDLE, limit=100),
+        # per-needle oracles composed by UNION ALL: each subquery is the
+        # single-needle wavefront oracle scoped to its own CTE namespace
+        "fuzzy_join": " UNION ALL ".join(
+            f"SELECT CAST({nid} AS BIGINT) AS needle_id, doc_id, score, "
+            f"typos, exact FROM ({_sql_oracles().fuzzy_match_sql(ns, limit=50)})"
+            for nid, ns in FUZZY_JOIN_NEEDLES
+        ),
         "greedy_match": f"""
             {_GREEDY_CTE}
             SELECT doc_id,

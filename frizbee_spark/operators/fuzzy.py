@@ -496,3 +496,111 @@ def fuzzy_match(
         if limit is not None:
             result = result.limit(limit)  # TakeOrderedAndProject — top-k O3
     return result
+
+
+def fuzzy_join(
+    df,
+    needles,
+    text_col: str = "text",
+    id_cols: list[str] | None = None,
+    config: MatchConfig = DEFAULT_CONFIG,
+    per_needle_limit: int | None = None,
+    route: str = "auto",
+    max_needles: int = 10_000,
+):
+    """Many-needles fuzzy join — the relational generalization of the
+    reference's one-needle API (entity matching: a dictionary of names /
+    phrases / aliases against a document table).
+
+    ``needles`` is a list of ``(needle_id, needle_str)`` pairs or a
+    2-column DataFrame of the same shape. The needle side is BROADCAST
+    (driver-held, capped at ``max_needles`` — a fuzzy join's needle side
+    is a dictionary, not a second corpus; for corpus-vs-corpus use the
+    dedup pipeline), and the haystack is scanned exactly ONCE: each
+    Arrow batch runs the batched SW kernel once per needle, so the cost
+    is O(|needles| * corpus) kernel work with zero extra scans or
+    shuffles. The per-needle prefilter (reference F3-F6) prunes
+    non-candidates before any DP.
+
+    Catalyst pushdown: with a typo budget, docs shorter than
+    min(len(needle) - max_typos) over the needle set can match nothing —
+    that predicate pushes into the parquet scan; per-needle length
+    gating happens in-kernel.
+
+    ``per_needle_limit`` keeps the top-k rows per needle via a window
+    (WindowGroupLimit: only ~k rows per needle survive below the final
+    exchange), ties broken on id_cols ascending — deterministic, so the
+    per-needle cut is a well-defined set for the SQL oracle.
+
+    Output columns: ``[needle_id] + id_cols + [score, typos, exact]``.
+    """
+    from pyspark.sql import functions as F
+
+    id_cols = id_cols or ["doc_id"]
+    cfg = config
+    if not isinstance(needles, list):
+        rows = needles.limit(max_needles + 1).collect()
+        if len(rows) > max_needles:
+            raise ValueError(
+                f"fuzzy_join needle side exceeds max_needles={max_needles}; "
+                "a fuzzy join's needle side is a broadcast dictionary — "
+                "for corpus-vs-corpus matching use the dedup pipeline"
+            )
+        needles = [(r[0], r[1]) for r in rows]
+    if len(needles) > max_needles:
+        raise ValueError(f"got {len(needles)} needles > max_needles={max_needles}")
+    if not needles:
+        raise ValueError("fuzzy_join needs at least one needle")
+    pairs = [(nid, str(ns)) for nid, ns in needles]
+
+    work = df.select(*id_cols, text_col)
+    if cfg.max_typos is not None:
+        min_len = min(
+            max(0, len(ns.encode()) - cfg.max_typos) for _, ns in pairs
+        )
+        if min_len > 0:
+            work = work.filter(F.length(F.col(text_col)) >= min_len)
+    from ..util import widen_if_narrow
+
+    work = widen_if_narrow(work)
+
+    out_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in work.schema.fields if f.name != text_col
+    )
+    schema = f"needle_id long, {out_fields}, score long, typos long, exact boolean"
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            texts = [
+                t.encode("utf-8", "surrogatepass") if isinstance(t, str) else (t or b"")
+                for t in pdf[text_col].tolist()
+            ]
+            outs = []
+            for nid, ns in pairs:
+                pos, scores, typos, exact = match_list_arrays(
+                    ns, texts, cfg, route=route
+                )
+                out = pdf.iloc[pos].drop(columns=[text_col]).reset_index(drop=True)
+                out.insert(0, "needle_id", int(nid))
+                out["score"] = scores
+                out["typos"] = typos
+                out["exact"] = exact
+                outs.append(out)
+            yield pd.concat(outs, ignore_index=True)
+
+    result = work.mapInPandas(run, schema=schema)
+    if per_needle_limit is not None:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("needle_id").orderBy(
+            F.desc("score"), *[F.asc(c) for c in id_cols]
+        )
+        result = (
+            result.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= per_needle_limit)
+            .drop("_rn")
+        )
+    return result

@@ -155,3 +155,61 @@ class TestIncrementalPrefixReuse:
             got = m.match_needle(needle)
             want = match_list(needle, hs, cfg)
             assert got == want, f"needle {needle!r} (max_typos={max_typos})"
+
+
+class TestFuzzyJoin:
+    def test_equals_per_needle_fuzzy_match(self, spark):
+        from frizbee_spark.operators.fuzzy import fuzzy_join, fuzzy_match
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        needles = [(7, "table value data"), (8, "spark query")]
+        cfg = MatchConfig(max_typos=16)
+        joined = {
+            (r["needle_id"], r["doc_id"]): (r["score"], r["typos"], r["exact"])
+            for r in fuzzy_join(
+                docs, needles, config=cfg, per_needle_limit=None
+            ).collect()
+        }
+        for nid, ns in needles:
+            single = {
+                (nid, r["doc_id"]): (r["score"], r["typos"], r["exact"])
+                for r in fuzzy_match(docs, ns, config=cfg).collect()
+            }
+            sub = {k: v for k, v in joined.items() if k[0] == nid}
+            assert sub == single, f"needle {ns!r} diverges from fuzzy_match"
+
+    def test_per_needle_limit_and_determinism(self, spark):
+        from frizbee_spark.operators.fuzzy import fuzzy_join
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        needles = [(1, "table value data"), (2, "spark query")]
+        out1 = fuzzy_join(docs, needles, config=MatchConfig(max_typos=16),
+                          per_needle_limit=10)
+        rows1 = sorted(map(tuple, out1.collect()))
+        per = {}
+        for r in rows1:
+            per[r[0]] = per.get(r[0], 0) + 1
+        assert per == {1: 10, 2: 10}
+        rows2 = sorted(map(tuple, fuzzy_join(
+            docs, needles, config=MatchConfig(max_typos=16),
+            per_needle_limit=10).collect()))
+        assert rows1 == rows2
+
+    def test_needle_side_guards(self, spark):
+        from frizbee_spark.operators.fuzzy import fuzzy_join
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        with pytest.raises(ValueError):
+            fuzzy_join(docs, [])
+        with pytest.raises(ValueError):
+            fuzzy_join(docs, [(i, "x") for i in range(11)], max_needles=10)
+        # a DataFrame needle side over the cap must refuse, not collect
+        big = spark.range(20).selectExpr("id", "concat('n', id) AS s")
+        with pytest.raises(ValueError):
+            fuzzy_join(docs, big, max_needles=10)
+        # and under the cap it works
+        small = spark.createDataFrame(
+            [(5, "table value data")], "id long, s string")
+        assert fuzzy_join(
+            docs, small, config=MatchConfig(max_typos=16),
+            per_needle_limit=3).count() == 3
