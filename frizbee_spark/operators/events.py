@@ -50,6 +50,11 @@ def sessionize(
     is timezone-proof), n_events, and total_value (the per-event values
     rounded to 2 decimals and summed as DECIMAL(18,2): exact,
     order-independent addition, same discipline as lm_perplexity).
+    Cross-engine caveat: the round(value, 2) step is engine-identical
+    only when the doubles are not exact .xx5 ties (Spark rounds HALF_UP
+    on the shortest decimal repr; DuckDB half-away on the binary value)
+    — monetary-style sources with <= 2 decimal places, like the driver
+    fixture, are always safe.
 
     Plan shape: ONE shuffle. The lag + running-sum windows hash-partition
     by user_id, and the closing groupBy on (user_id, session_n) is

@@ -92,3 +92,73 @@ class TestEventRates:
         # window starts align to the hour grid
         for (w, _t) in got:
             assert w % (3600 * 10**6) == 0
+
+
+class TestSessionizeProperty:
+    def test_random_events_match_brute_force(self, spark):
+        """1,000 random events across 20 users vs a driver-side reference:
+        session boundaries, bounds, counts, and decimal-exact sums."""
+        import numpy as np
+
+        rng = np.random.default_rng(42)
+        n = 1000
+        users = rng.integers(0, 20, size=n)
+        # gaps cluster around the 1800s boundary to hammer the edge:
+        # many exactly-1800, many 1801, plus a broad spread
+        gaps = rng.choice(
+            [1, 60, 1799, 1800, 1801, 3600, 10], size=n
+        ) * rng.integers(1, 3, size=n)
+        # 2-decimal amounts, like the driver fixture: round(v, 2) is then
+        # the identity, so no engine's .xx5 tie-breaking (Spark HALF_UP on
+        # the shortest decimal repr, Python half-even, DuckDB half-away on
+        # the binary value) can enter the comparison — the documented
+        # precondition of the decimal-sum determinism contract
+        values = np.round(rng.uniform(0, 100, size=n), 2)
+        rows, t_user = [], {}
+        for i in range(n):
+            u = int(users[i])
+            t_user[u] = t_user.get(u, 0) + int(gaps[i])
+            rows.append((i, _ts(t_user[u]), u, "e", float(values[i])))
+
+        # brute-force reference (dict walk, decimal sums)
+        from collections import defaultdict
+        from decimal import Decimal
+
+        by_user = defaultdict(list)
+        for eid, ts, u, _t, v in rows:
+            by_user[u].append((ts, eid, v))
+        expected = {}
+        for u, evs in by_user.items():
+            evs.sort()
+            sn, prev = 0, None
+            for ts, eid, v in evs:
+                if prev is None or (ts - prev).total_seconds() > 1800:
+                    sn += 1
+                    expected[(u, sn)] = [ts, ts, 0, Decimal("0")]
+                rec = expected[(u, sn)]
+                rec[1] = ts
+                rec[2] += 1
+                rec[3] += Decimal(str(round(v, 2)))
+                prev = ts
+        want = {
+            k: (
+                int(v[0].replace(tzinfo=dt.timezone.utc).timestamp()) * 10**6,
+                int(v[1].replace(tzinfo=dt.timezone.utc).timestamp()) * 10**6,
+                v[2],
+                float(round(v[3], 2)),
+            )
+            for k, v in expected.items()
+        }
+
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp_ntz, user_id long, "
+                  "event_type string, value double"
+        )
+        got = {
+            (r["user_id"], r["session_n"]): (
+                r["session_start_us"], r["session_end_us"],
+                r["n_events"], r["total_value"],
+            )
+            for r in sessionize(df, gap_s=1800).collect()
+        }
+        assert got == want
