@@ -93,6 +93,58 @@ def sessionize(
     )
 
 
+def sessionize_stream(
+    stream: DataFrame,
+    gap_s: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    watermark_delay: str | None = None,
+) -> DataFrame:
+    """Structured Streaming twin of :func:`sessionize`: native
+    ``session_window(ts, gap)`` state with a watermark; the caller
+    attaches the sink (memory/kafka/foreachBatch). Same output columns
+    as the batch operator, so a backfill and the live stream are
+    interchangeable.
+
+    Boundary fine print: Spark's session window spans ``[ts, ts+gap)``
+    and merges on OVERLAP, so two events exactly ``gap`` apart start a
+    new session here but share one in the batch operator's
+    strictly-greater rule — identical whenever real timestamps never
+    land exactly ``gap`` apart (microsecond-resolution streams), and
+    pinned by the parity test either way.
+
+    State/scale: per-(user, open-session) state only; the watermark
+    (default 2x gap) closes sessions and evicts state, so memory is
+    bounded by concurrently-active users, not history.
+    """
+    gap = f"{int(gap_s)} seconds"
+    wm = watermark_delay or f"{int(gap_s) * 2} seconds"
+    # the watermark/session-window machinery accepts only TIMESTAMP, so
+    # NTZ sources cast for the STATE KEY only. The cast re-interprets the
+    # naive value through the session timezone — a constant shift, and
+    # gap-based session structure is shift-invariant — while every OUTPUT
+    # column still comes from the timezone-proof NTZ epoch arithmetic.
+    work = stream.select(
+        F.col(user_col).alias("user_id"),
+        F.col(ts_col).cast("timestamp").alias("_ts"),
+        F.round(F.col(value_col), 2).cast("decimal(18,2)").alias("_val"),
+        _epoch_us(stream, ts_col).alias("_us"),
+    )
+    return (
+        work.withWatermark("_ts", wm)
+        .groupBy(F.session_window("_ts", gap).alias("_w"), F.col("user_id"))
+        .agg(
+            F.min("_us").alias("session_start_us"),
+            F.max("_us").alias("session_end_us"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("_val").cast("double"), 2).alias("total_value"),
+        )
+        .select("user_id", "session_start_us", "session_end_us",
+                "n_events", "total_value")
+    )
+
+
 def event_rates(
     df: DataFrame,
     window_s: int = 3600,

@@ -162,3 +162,49 @@ class TestSessionizeProperty:
             for r in sessionize(df, gap_s=1800).collect()
         }
         assert got == want
+
+
+class TestSessionizeStream:
+    def test_streaming_parity_with_batch(self, spark):
+        """session_window streaming state over the fixture events produces
+        the same sessions as the batch operator (no fixture timestamps sit
+        exactly gap apart, so the [ts, ts+gap) vs strictly-greater
+        boundary nuance cannot fire — asserted first)."""
+        from frizbee_spark.operators.events import sessionize, sessionize_stream
+
+        src = "/root/testdata/sf0.001/events.parquet"
+        batch_df = spark.read.parquet(src)
+        batch = {
+            (r["user_id"], r["session_start_us"]): (
+                r["session_end_us"], r["n_events"], r["total_value"])
+            for r in sessionize(batch_df, gap_s=1800).collect()
+        }
+        # precondition for exact parity: no consecutive gap == exactly 1800s
+        from pyspark.sql import Window as W
+
+        us = F.unix_micros(F.col("ts").cast("timestamp")) if dict(
+            batch_df.dtypes)["ts"] == "timestamp" else F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+        gaps = (
+            batch_df.select("user_id", us.alias("us"))
+            .withColumn("prev", F.lag("us").over(
+                W.partitionBy("user_id").orderBy("us")))
+            .filter(F.col("us") - F.col("prev") == 1800 * 10**6)
+        )
+        assert gaps.count() == 0
+
+        stream = spark.readStream.schema(batch_df.schema).parquet(
+            "/root/testdata/sf0.001", pathGlobFilter="events.parquet")
+        out = sessionize_stream(stream, gap_s=1800)
+        q = (
+            out.writeStream.format("memory").queryName("sess_parity")
+            .outputMode("complete").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r["user_id"], r["session_start_us"]): (
+                r["session_end_us"], r["n_events"], r["total_value"])
+            for r in spark.sql("SELECT * FROM sess_parity").collect()
+        }
+        spark.catalog.dropTempView("sess_parity")
+        assert got == batch
