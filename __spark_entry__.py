@@ -113,6 +113,15 @@ def q_shingle_jaccard_pairs(spark, sf_dir):
                                  max_shingle_freq=1000)
 
 
+def q_shingle_containment_pairs(spark, sf_dir):
+    """Asymmetric containment pairs (|A∩B|/|A| per direction) — catches
+    quote/superset near-dups that symmetric Jaccard dilutes."""
+    from frizbee_spark.operators.textstats import shingle_containment_pairs
+
+    return shingle_containment_pairs(_docs(spark, sf_dir), k=3,
+                                     threshold=0.8, max_shingle_freq=1000)
+
+
 def _near_dup_edges(spark, sf_dir):
     from frizbee_spark.operators.textstats import shingle_jaccard_pairs
 
@@ -739,6 +748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dup_groups": q_exact_dup_groups,
         "shingle_jaccard_pairs": q_shingle_jaccard_pairs,
+        "shingle_containment_pairs": q_shingle_containment_pairs,
         "near_dup_clusters": q_near_dup_clusters,
         "canonical_docs": q_canonical_docs,
         "cluster_stats": q_cluster_stats,
@@ -896,6 +906,17 @@ def oracle_sql() -> dict[str, str]:
         "shingle_jaccard_pairs": f"""
             WITH {_SHINGLE_CTE}
             SELECT a, b, jaccard FROM jpairs WHERE jaccard >= 0.5
+        """,
+        "shingle_containment_pairs": f"""
+            WITH {_SHINGLE_CTE}
+            SELECT a, b,
+                   round(i * 1.0 / sa.n_sh, 4) AS contain_a_in_b,
+                   round(i * 1.0 / sb.n_sh, 4) AS contain_b_in_a
+            FROM inter
+            JOIN sizes sa ON inter.a = sa.doc_id
+            JOIN sizes sb ON inter.b = sb.doc_id
+            WHERE greatest(round(i * 1.0 / sa.n_sh, 4),
+                           round(i * 1.0 / sb.n_sh, 4)) >= 0.8
         """,
         "near_dup_clusters": f"""
             WITH RECURSIVE {_CLUSTER_CTE.lstrip()}

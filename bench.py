@@ -135,7 +135,7 @@ def main() -> None:
             "ngram_contamination", "dup_chunks", "minhash_jaccard_est",
             "corpus_filter", "tfidf_topterms", "lm_perplexity",
             "stratified_sample", "user_sessions", "event_rates",
-            "fuzzy_join",
+            "fuzzy_join", "shingle_containment_pairs",
         ):
             fn = E.queries()[name]
             t0 = time.monotonic()

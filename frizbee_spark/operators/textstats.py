@@ -366,6 +366,64 @@ def shingle_jaccard_pairs(
     )
 
 
+def shingle_containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.8,
+    max_shingle_freq: int = 1000,
+) -> DataFrame:
+    """Asymmetric near-dup detection: shingle-set CONTAINMENT
+    |A∩B| / |A| per direction — the measure that catches a short doc
+    quoted/embedded inside a long one, which symmetric Jaccard dilutes
+    below any usable threshold (|A∩B| / |A∪B| ~ |A|/|B| for a full
+    quote). The standard companion to Jaccard dedup in web pipelines
+    (Broder's containment; supersets, quotes, syndicated excerpts).
+
+    Output: (a, b, contain_a_in_b, contain_b_in_a) for a < b, kept when
+    either ROUNDED direction reaches ``threshold`` (rounding first keeps
+    the SQL oracle's cut identical). Plan shape, hot-shingle cap, and
+    scale caveats are exactly :func:`shingle_jaccard_pairs` — the two
+    differ only in the final ratio.
+    """
+    from ..util import widen_if_narrow
+
+    df = widen_if_narrow(df)
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        )
+    )
+    sh = df.select(F.col(id_col).alias("doc_id"), F.explode(shingles).alias("sh"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    rare = (
+        sh.groupBy("sh").agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") <= max_shingle_freq)
+        .select("sh")
+    )
+    capped = sh.join(rare, "sh")
+    inter = (
+        capped.alias("x")
+        .join(capped.alias("y"), (F.col("x.sh") == F.col("y.sh"))
+              & (F.col("x.doc_id") < F.col("y.doc_id")))
+        .groupBy(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .agg(F.count("*").alias("i"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({"doc_id": "a", "n_sh": "na"}), "a")
+        .join(sizes.withColumnsRenamed({"doc_id": "b", "n_sh": "nb"}), "b")
+        .withColumn("contain_a_in_b", F.round(F.col("i") / F.col("na"), 4))
+        .withColumn("contain_b_in_a", F.round(F.col("i") / F.col("nb"), 4))
+        .filter(
+            F.greatest("contain_a_in_b", "contain_b_in_a") >= threshold
+        )
+        .select("a", "b", "contain_a_in_b", "contain_b_in_a")
+    )
+
+
 def corpus_filter(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -439,3 +439,44 @@ class TestStratifiedSample:
             stratified_sample(docs, rates={"en": 1.5})
         with _pytest.raises(ValueError):
             stratified_sample(docs, rates={"en": 0.5}, default_rate=-0.1)
+
+
+class TestShingleContainment:
+    def test_quote_caught_containment_not_jaccard(self, spark):
+        from frizbee_spark.operators.textstats import (
+            shingle_containment_pairs,
+            shingle_jaccard_pairs,
+        )
+
+        quote = "the quick brown fox jumps over the lazy dog again today"
+        filler = " ".join(f"w{i} x{i} y{i}" for i in range(40))
+        corpus = spark.createDataFrame(
+            [
+                (1, quote),                     # short doc
+                (2, filler + " " + quote),      # quote embedded in long doc
+                (3, "completely unrelated text about spark tables and rows"),
+            ],
+            "doc_id long, text string",
+        )
+        cont = {
+            (r["a"], r["b"]): (r["contain_a_in_b"], r["contain_b_in_a"])
+            for r in shingle_containment_pairs(corpus, threshold=0.8).collect()
+        }
+        # doc 1's shingle set is (almost) fully inside doc 2 ...
+        assert (1, 2) in cont and cont[(1, 2)][0] >= 0.8
+        # ... while symmetric Jaccard at the same threshold misses it
+        jac = shingle_jaccard_pairs(corpus, threshold=0.8).collect()
+        assert all((r["a"], r["b"]) != (1, 2) for r in jac)
+        assert (1, 3) not in cont and (2, 3) not in cont
+
+    def test_directions_and_bounds(self, spark):
+        from frizbee_spark.operators.textstats import shingle_containment_pairs
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        rows = shingle_containment_pairs(docs, threshold=0.8).collect()
+        assert rows, "fixture must produce containment pairs"
+        for r in rows:
+            assert r["a"] < r["b"]
+            for c in (r["contain_a_in_b"], r["contain_b_in_a"]):
+                assert 0.0 <= c <= 1.0
+            assert max(r["contain_a_in_b"], r["contain_b_in_a"]) >= 0.8
