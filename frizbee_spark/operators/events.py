@@ -21,14 +21,21 @@ def _epoch_us(df: DataFrame, ts_col: str):
     written without the adjusted-to-UTC flag surface as TIMESTAMP_NTZ
     (naive), where ``unix_micros`` is a type error and a cast to
     TIMESTAMP would silently re-interpret through the session timezone.
-    Naive calendar arithmetic against the NTZ epoch is timezone-free by
-    construction and matches DuckDB's ``epoch_us`` of the same naive
-    value; instants (TIMESTAMP) take ``unix_micros``, which is already
+    Pure FIELD EXTRACTION (unix_date + hour/minute/second) is
+    timezone-free by construction and matches DuckDB's ``epoch_us`` of
+    the same naive value. NOT ``timestampdiff(MICROSECOND, ntz_epoch,
+    ts)``: that converts both NTZ operands through the session timezone
+    internally, so under a DST-observing zone a naive time inside the
+    spring-forward hole (e.g. America/New_York 2024-03-10 02:00) shifts
+    by +1h — measured, and pinned by the DST parity test. Instants
+    (TIMESTAMP) take ``unix_micros``, which is already
     timezone-independent."""
     if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
         return F.expr(
-            "timestampdiff(MICROSECOND, "
-            f"TIMESTAMP_NTZ '1970-01-01 00:00:00', `{ts_col}`)"
+            f"unix_date(cast(`{ts_col}` AS date)) * 86400000000L"
+            f" + extract(HOUR FROM `{ts_col}`) * 3600000000L"
+            f" + extract(MINUTE FROM `{ts_col}`) * 60000000L"
+            f" + cast(extract(SECOND FROM `{ts_col}`) * 1000000 AS bigint)"
         )
     return F.unix_micros(F.col(ts_col))
 
@@ -65,7 +72,9 @@ def sessionize(
     matters. Deterministic: ordering ties on (ts, event_id).
     """
     gap_us = int(gap_s) * 1_000_000
-    w = Window.partitionBy(user_col).orderBy("_us", id_col)
+    # windows run over the POST-alias frame, so partition/order on the
+    # canonical names — the caller's user_col/id_col no longer exist there
+    w = Window.partitionBy("user_id").orderBy("_us", "event_id")
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ev = (
         df.select(
@@ -107,27 +116,34 @@ def sessionize_stream(
     as the batch operator, so a backfill and the live stream are
     interchangeable.
 
-    Boundary fine print: Spark's session window spans ``[ts, ts+gap)``
-    and merges on OVERLAP, so two events exactly ``gap`` apart start a
-    new session here but share one in the batch operator's
-    strictly-greater rule — identical whenever real timestamps never
-    land exactly ``gap`` apart (microsecond-resolution streams), and
-    pinned by the parity test either way.
+    Exact-gap parity: Spark's session window spans ``[ts, ts+gap)`` and
+    merges on OVERLAP, so with a raw ``gap_s`` window two events exactly
+    ``gap_s`` apart would split here but share a session under the batch
+    operator's strictly-greater rule. The stream therefore widens its
+    window by exactly 1 microsecond (``gap_s`` + 1 µs): events ``gap_s``
+    apart now overlap-merge, events ``gap_s`` + 1 µs apart still split —
+    bit-identical to the batch rule at Spark's microsecond timestamp
+    resolution. Pinned by the parity test with planted exactly-gap
+    boundary events.
 
     State/scale: per-(user, open-session) state only; the watermark
     (default 2x gap) closes sessions and evicts state, so memory is
     bounded by concurrently-active users, not history.
     """
-    gap = f"{int(gap_s)} seconds"
+    gap = f"{int(gap_s)} seconds 1 microseconds"
     wm = watermark_delay or f"{int(gap_s) * 2} seconds"
-    # the watermark/session-window machinery accepts only TIMESTAMP, so
-    # NTZ sources cast for the STATE KEY only. The cast re-interprets the
-    # naive value through the session timezone — a constant shift, and
-    # gap-based session structure is shift-invariant — while every OUTPUT
-    # column still comes from the timezone-proof NTZ epoch arithmetic.
+    # the watermark/session-window machinery accepts only TIMESTAMP.
+    # Rebuild the state key from the timezone-proof epoch micros
+    # (timestamp_micros gives an absolute instant — epoch-is-epoch) rather
+    # than casting NTZ -> TIMESTAMP, which re-interprets the naive value
+    # through the session timezone: in a DST-observing zone that shift is
+    # NOT constant (spring-forward inflates a straddling gap by 1h;
+    # fall-back is non-monotonic), silently diverging from the batch
+    # sessionize. Every OUTPUT column also comes from the same epoch
+    # arithmetic, so results are timezone-free end to end.
     work = stream.select(
         F.col(user_col).alias("user_id"),
-        F.col(ts_col).cast("timestamp").alias("_ts"),
+        F.timestamp_micros(_epoch_us(stream, ts_col)).alias("_ts"),
         F.round(F.col(value_col), 2).cast("decimal(18,2)").alias("_val"),
         _epoch_us(stream, ts_col).alias("_us"),
     )

@@ -462,7 +462,11 @@ def fuzzy_match(
     if cfg.max_typos is not None and len(needle) > 0:
         min_len = max(0, len(needle.encode()) - cfg.max_typos)
         if min_len > 0:
-            work = work.filter(F.length(F.col(text_col)) >= min_len)
+            # min_len is in BYTES (the DP kernel is byte-oriented), so the
+            # pushed predicate must compare bytes too: octet_length, not
+            # length (chars) — a multi-byte doc can have octets >= min_len
+            # but chars < min_len and must NOT be pruned
+            work = work.filter(F.octet_length(F.col(text_col)) >= min_len)
     # widen AFTER the filter so the length predicate still pushes into the
     # scan; a one-file input otherwise runs the whole DP on one core
     from ..util import widen_if_narrow
@@ -552,6 +556,12 @@ def fuzzy_join(
     if not needles:
         raise ValueError("fuzzy_join needs at least one needle")
     pairs = [(nid, str(ns)) for nid, ns in needles]
+    if len({nid for nid, _ in pairs}) != len(pairs):
+        raise ValueError(
+            "fuzzy_join needle_ids must be unique — duplicate ids share one "
+            "row_number partition, so per_needle_limit would be applied "
+            "jointly and their output rows are indistinguishable"
+        )
 
     work = df.select(*id_cols, text_col)
     if cfg.max_typos is not None:
@@ -559,7 +569,10 @@ def fuzzy_join(
             max(0, len(ns.encode()) - cfg.max_typos) for _, ns in pairs
         )
         if min_len > 0:
-            work = work.filter(F.length(F.col(text_col)) >= min_len)
+            # bytes-vs-bytes: see fuzzy_match — octet_length matches the
+            # byte-oriented min_len, length (chars) can wrongly prune
+            # multi-byte docs
+            work = work.filter(F.octet_length(F.col(text_col)) >= min_len)
     from ..util import widen_if_narrow
 
     work = widen_if_narrow(work)

@@ -167,9 +167,11 @@ class TestSessionizeProperty:
 class TestSessionizeStream:
     def test_streaming_parity_with_batch(self, spark):
         """session_window streaming state over the fixture events produces
-        the same sessions as the batch operator (no fixture timestamps sit
-        exactly gap apart, so the [ts, ts+gap) vs strictly-greater
-        boundary nuance cannot fire — asserted first)."""
+        the same sessions as the batch operator. (The fixture never has
+        timestamps exactly gap apart — asserted below — so this test
+        covers the bulk behavior; the exact-gap boundary is pinned
+        separately by test_exact_gap_and_dst_parity with planted
+        boundary events.)"""
         from frizbee_spark.operators.events import sessionize, sessionize_stream
 
         src = "/root/testdata/sf0.001/events.parquet"
@@ -208,3 +210,85 @@ class TestSessionizeStream:
         }
         spark.catalog.dropTempView("sess_parity")
         assert got == batch
+
+    def test_exact_gap_and_dst_parity(self, spark, tmp_path):
+        """Planted boundary events: (a) consecutive events exactly gap_s
+        apart must share ONE session in the stream, matching the batch
+        strictly-greater rule (the stream widens its session window by
+        1 µs to turn [ts, ts+gap) overlap-merge into the same rule);
+        (b) a chain of exact-gap events whose NAIVE timestamps straddle
+        the America/New_York spring-forward (2024-03-10 02:00 local)
+        must stay one session even when the session timezone observes
+        DST — the state key is rebuilt from epoch micros, not a
+        NTZ->TIMESTAMP cast that would inflate the straddling gap by 1h
+        and split the session."""
+        from frizbee_spark.operators.events import (
+            sessionize, sessionize_stream)
+
+        gap = 1800
+        # user 1: exact-gap chain (one session), then gap+1s (new session)
+        u1 = [(10, _ts(0), 1), (11, _ts(gap), 1), (12, _ts(2 * gap), 1),
+              (13, _ts(2 * gap + gap + 1), 1)]
+        # user 2: naive 01:00 / 01:30 / 02:00 / 02:30 on the NY
+        # spring-forward morning — consecutive naive gaps of exactly
+        # 1800s; 02:00 and 02:30 do not exist as NY local times, so the
+        # old cast path maps them forward 1h and the 01:30->02:00
+        # instant gap becomes 3600s > gap (session split = the bug)
+        d = dt.datetime(2024, 3, 10)
+        u2 = [(20, d + dt.timedelta(hours=1), 2),
+              (21, d + dt.timedelta(hours=1, minutes=30), 2),
+              (22, d + dt.timedelta(hours=2), 2),
+              (23, d + dt.timedelta(hours=2, minutes=30), 2)]
+        rows = [(eid, ts, u, "e", 1.0) for eid, ts, u in u1 + u2]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp_ntz, user_id long, "
+                  "event_type string, value double")
+        src = str(tmp_path / "boundary_events")
+        df.write.parquet(src)
+
+        batch_df = spark.read.parquet(src)
+        batch = {
+            (r["user_id"], r["session_start_us"]): (
+                r["session_end_us"], r["n_events"], r["total_value"])
+            for r in sessionize(batch_df, gap_s=gap).collect()
+        }
+        # ground truth: u1 -> two sessions (3 + 1 events), u2 -> ONE
+        counts = sorted((u, n) for (u, _s), (_e, n, _v) in batch.items())
+        assert counts == [(1, 1), (1, 3), (2, 4)]
+
+        prev_tz = spark.conf.get("spark.sql.session.timeZone")
+        try:
+            spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+            stream = spark.readStream.schema(batch_df.schema).parquet(src)
+            q = (
+                sessionize_stream(stream, gap_s=gap)
+                .writeStream.format("memory").queryName("sess_boundary")
+                .outputMode("complete").trigger(availableNow=True).start()
+            )
+            q.awaitTermination(120)
+            got = {
+                (r["user_id"], r["session_start_us"]): (
+                    r["session_end_us"], r["n_events"], r["total_value"])
+                for r in spark.sql("SELECT * FROM sess_boundary").collect()
+            }
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", prev_tz)
+            spark.catalog.dropTempView("sess_boundary")
+        assert got == batch
+
+    def test_non_default_column_names(self, spark):
+        """sessionize's windows run over the post-alias frame, so
+        caller-renamed user/id/ts/value columns must resolve (they once
+        raised AnalysisException because the window partitioned on the
+        caller's original names)."""
+        rows = [(1, _ts(0), 1, 1.0), (2, _ts(1800), 1, 2.0),
+                (3, _ts(5000), 1, 3.0), (4, _ts(10), 2, 4.0)]
+        base = spark.createDataFrame(
+            rows, "event_id long, ts timestamp_ntz, user_id long, value double")
+        renamed = base.selectExpr(
+            "event_id AS eid", "ts AS stamp", "user_id AS uid", "value AS v")
+        want = sorted(map(tuple, sessionize(base, gap_s=1800).collect()))
+        got = sorted(map(tuple, sessionize(
+            renamed, gap_s=1800, user_col="uid", ts_col="stamp",
+            id_col="eid", value_col="v").collect()))
+        assert got == want and len(got) == 3

@@ -112,6 +112,20 @@ class TestFuzzySpark:
         plan = fuzzy_match(df, "deadbe")._jdf.queryExecution().executedPlan().toString()
         assert "length" in plan.lower()  # catalyst filter present pre-UDF
 
+    def test_multibyte_doc_not_pruned_by_byte_min_len(self, spark):
+        """min_len is computed in BYTES (the DP kernel is byte-oriented),
+        so the pushed predicate must be octet_length: an exact multi-byte
+        match ("ééééé" = 5 chars, 10 bytes, needle 10 bytes, max_typos=0
+        -> min_len 10) has char-length < min_len and a char-length filter
+        silently drops it — a false negative."""
+        from frizbee_spark.operators.fuzzy import fuzzy_match
+
+        df = spark.createDataFrame(
+            [(0, "ééééé"), (1, "zzz")], "doc_id long, text string")
+        got = fuzzy_match(
+            df, "ééééé", config=MatchConfig(max_typos=0)).collect()
+        assert [(r.doc_id, r.exact) for r in got] == [(0, True)]
+
 
 class TestIncrementalPrefixReuse:
     """The reference reuses DP columns of the shared needle prefix
@@ -201,6 +215,10 @@ class TestFuzzyJoin:
         docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
         with pytest.raises(ValueError):
             fuzzy_join(docs, [])
+        # duplicate needle_ids would share one row_number partition,
+        # making per_needle_limit joint and rows indistinguishable
+        with pytest.raises(ValueError, match="unique"):
+            fuzzy_join(docs, [(1, "alpha"), (1, "beta")])
         with pytest.raises(ValueError):
             fuzzy_join(docs, [(i, "x") for i in range(11)], max_needles=10)
         # a DataFrame needle side over the cap must refuse, not collect
