@@ -429,7 +429,8 @@ def compute_signature_arrays(
     bands: int = 32,
     band_rows: int = 4,
     seed: int = 1,
-) -> tuple[np.ndarray, np.ndarray]:
+    short_tier: tuple[int, int, int] | None = None,
+) -> tuple[np.ndarray, ...]:
     """FUSED signature kernel: shingle-hash -> OPH MinHash -> SimHash in
     one pass over doc-aligned ~64 KB chunks, so the shingle-hash array (8
     bytes per input byte) stays cache-resident across all consumers
@@ -439,7 +440,14 @@ def compute_signature_arrays(
     signature stage. Values are identical to running the standalone
     kernels (differentially tested).
 
-    Returns (band_keys int64 (ndocs, bands), simhash int64 (ndocs,)).
+    ``short_tier`` = (bands2, rows2, seed2): ALSO derive a second band-key
+    matrix from the same signature (narrower bands -> wider LSH envelope;
+    the caller gates which docs keep these keys, e.g. by byte length).
+    Banding is arithmetic on the already-computed signature, so the extra
+    tier costs ~nothing next to shingling.
+
+    Returns (band_keys int64 (ndocs, bands), simhash int64 (ndocs,))
+    [+ short_keys int64 (ndocs, bands2) when short_tier is given].
     """
     bits = int(num_perm).bit_length() - 1
     if (1 << bits) != num_perm:
@@ -450,7 +458,12 @@ def compute_signature_arrays(
     sig = np.empty((ndocs, num_perm), dtype=_U64)
     simh = np.empty(ndocs, dtype=_U64)
     if ndocs == 0:
-        return band_hashes(sig, bands, band_rows).reshape(0, bands), simh.view(np.int64)
+        out = (band_hashes(sig, bands, band_rows).reshape(0, bands),
+               simh.view(np.int64))
+        if short_tier is not None:
+            b2, r2, s2 = short_tier
+            out += (band_hashes(sig, b2, r2, seed=s2).reshape(0, b2),)
+        return out
 
     buf, starts = concat_docs(texts, min_len=k)
     doc_lens = np.diff(starts)
@@ -495,7 +508,11 @@ def compute_signature_arrays(
             _simhash_chunk(sh, local_sh_starts, simh[d0:d1])
             d0 = d1
 
-    return band_hashes(sig, bands, band_rows), simh.view(np.int64)
+    out = (band_hashes(sig, bands, band_rows), simh.view(np.int64))
+    if short_tier is not None:
+        b2, r2, s2 = short_tier
+        out += (band_hashes(sig, b2, r2, seed=s2),)
+    return out
 
 
 def band_hashes(signatures: np.ndarray, bands: int, rows: int, seed: int = 2) -> np.ndarray:

@@ -45,6 +45,7 @@ _BASE = 0x100000001B3          # rolling-hash base (hashing.py `_BASE`)
 _OPH_VBITS = 40                # hashing.py `_OPH_VBITS`
 _SIG_SEED = 1                  # compute_signatures default seed
 _BAND_SEED = 2                 # band-key derivation seed (hashing.py)
+_SHORT_BAND_SEED = 3           # tier-2 short-doc band seed (dedup.py)
 
 
 def _sm64(x: int) -> int:
@@ -113,6 +114,40 @@ shraw AS (
 sh AS (
     SELECT doc_id, {_sm64_cols('rawh', 'sh', 'z')}
     FROM shraw
+)"""
+
+
+def _short_band_cte(cfg: DedupConfig) -> str:
+    """Tier-2 short-doc band keys (``skey``): the same densified OPH
+    ``slots`` re-banded at (short_bands x short_band_rows) with the
+    tier-2 seed, emitted only for docs under ``short_doc_max_bytes``;
+    band_id is offset by ``cfg.bands`` — the disjoint id space the Spark
+    pair generators use. Requires the ``slots`` CTE upstream."""
+    bands2, rows2 = cfg.short_bands, cfg.short_band_rows
+    row_c = [_sm64(_SHORT_BAND_SEED + r) for r in range(rows2)]
+    band_d = [_sm64(b + _SHORT_BAND_SEED) for b in range(bands2)]
+    dvals = ", ".join(f"({b}, {band_d[b]}::UBIGINT)" for b in range(bands2))
+    case_c = ("CASE bin % " + str(rows2) + " "
+              + " ".join(f"WHEN {r} THEN {row_c[r]}::UBIGINT"
+                         for r in range(rows2 - 1))
+              + f" ELSE {row_c[rows2 - 1]}::UBIGINT END")
+    return f"""
+shortdocs AS (
+    SELECT doc_id FROM nd WHERE strlen(nt) < {cfg.short_doc_max_bytes}
+),
+sbelem AS (
+    SELECT doc_id, bin // {rows2} AS sband,
+           {_sm64_cols(f'xor(slot, {case_c})', 'e', 'sv')}
+    FROM slots WHERE doc_id IN (SELECT doc_id FROM shortdocs)
+),
+sbacc AS (SELECT doc_id, sband, bit_xor(e) AS acc FROM sbelem GROUP BY 1, 2),
+sdconst(sband, dv) AS (VALUES {dvals}),
+skey AS (
+    SELECT doc_id, sband + {cfg.bands} AS band_id, bk AS band_key FROM (
+        SELECT a.doc_id, a.sband,
+               {_sm64_cols('xor(a.acc, c.dv)', 'bk', 'su')}
+        FROM sbacc a JOIN sdconst c ON a.sband = c.sband
+    )
 )"""
 
 
@@ -221,13 +256,36 @@ allp AS (
 )"""
 
 
+def _lsh_two_tier(cfg: DedupConfig) -> str:
+    """CTE chain ``lshb`` + pairs + ``lshp(a, b)``: both band tiers
+    through one pair pass, tier-2-only pairs gated on >= short_min_bands
+    distinct band collisions — the twin of lsh_band_pairs. The tier flag
+    rides _pairs_cte's payload (pa/pb, constant within a bucket)."""
+    return (f"""
+lshb AS (
+    SELECT doc_id, band_id, band_key, 0 AS fl FROM bkey
+    UNION ALL
+    SELECT doc_id, band_id, band_key, 1 AS fl FROM skey
+),
+{_pairs_cte('lshb', 'band_id, band_key', cfg, payload='fl').lstrip().lstrip(',')},
+lshp AS (
+    SELECT a, b FROM allp GROUP BY 1, 2
+    HAVING min(pa) = 0 OR count(*) >= {cfg.short_min_bands}
+)""")
+
+
 def minhash_lsh_sql(cfg: DedupConfig = DEFAULT_DEDUP) -> str:
     """Full-pipeline SQL oracle for ``lsh_band_pairs(compute_signatures(
     normalize_text(documents)))`` — output columns (a, b)."""
+    if cfg.short_doc_max_bytes <= 0:
+        return _materialize(
+            f"WITH {_shingle_cte(cfg)}, {_oph_band_cte(cfg)}, "
+            + _pairs_cte("bkey", "band_id, band_key", cfg)
+            + "\nSELECT DISTINCT a, b FROM allp ORDER BY a, b")
     return _materialize(
         f"WITH {_shingle_cte(cfg)}, {_oph_band_cte(cfg)}, "
-        + _pairs_cte("bkey", "band_id, band_key", cfg)
-        + "\nSELECT DISTINCT a, b FROM allp ORDER BY a, b")
+        f"{_short_band_cte(cfg)}, {_lsh_two_tier(cfg)}"
+        "\nSELECT a, b FROM lshp ORDER BY a, b")
 
 
 def minhash_jaccard_estimate_sql(cfg: DedupConfig = DEFAULT_DEDUP) -> str:
@@ -236,6 +294,22 @@ def minhash_jaccard_estimate_sql(cfg: DedupConfig = DEFAULT_DEDUP) -> str:
     (a, b, est_jaccard). Reuses the OPH derivation's ``slots`` CTE (one
     row per (doc_id, bin)); agreement is a per-pair equality count over
     the 128 bins, divided by num_perm."""
+    if cfg.short_doc_max_bytes > 0:
+        return _materialize(
+            f"WITH {_shingle_cte(cfg)}, {_oph_band_cte(cfg)}, "
+            f"{_short_band_cte(cfg)}, {_lsh_two_tier(cfg)}"
+            + f""",
+p AS (SELECT a, b FROM lshp),
+agree AS (
+    SELECT p.a, p.b,
+           sum(CASE WHEN sa.slot = sb.slot THEN 1 ELSE 0 END) AS eq
+    FROM p
+    JOIN slots sa ON sa.doc_id = p.a
+    JOIN slots sb ON sb.doc_id = p.b AND sb.bin = sa.bin
+    GROUP BY 1, 2
+)
+SELECT a, b, round(eq * 1.0 / {cfg.num_perm}, 4) AS est_jaccard
+FROM agree ORDER BY a, b""")
     return _materialize(
         f"WITH {_shingle_cte(cfg)}, {_oph_band_cte(cfg)}, "
         + _pairs_cte("bkey", "band_id, band_key", cfg)
@@ -532,14 +606,22 @@ txt AS (
     FROM nd
 ),
 cand_buckets AS (
-    SELECT doc_id, concat('exact:', md5(nt)) AS ck FROM txt
+    SELECT doc_id, concat('exact:', md5(nt)) AS ck, 0 AS fl FROM txt
     UNION ALL
-    SELECT doc_id, concat('lsh:', band_id, ':', band_key) AS ck FROM bkey{'''
+    SELECT doc_id, concat('lsh:', band_id, ':', band_key) AS ck, 0 AS fl FROM bkey{'''
     UNION ALL
-    SELECT doc_id, concat('sim:', chunk_id, ':', chunk) AS ck FROM chunks''' if include_simhash else ''}
+    SELECT doc_id, concat('sim:', chunk_id, ':', chunk) AS ck, 0 AS fl FROM chunks''' if include_simhash else ''}{'''
+    UNION ALL
+    SELECT doc_id, concat('lsh2:', band_id, ':', band_key) AS ck, 1 AS fl FROM skey''' if cfg.short_doc_max_bytes > 0 else ''}
 ),
-{_pairs_cte('cand_buckets', 'ck', cfg).lstrip()},
-cand AS (SELECT DISTINCT a, b FROM allp),
+{_pairs_cte('cand_buckets', 'ck', cfg, payload='fl').lstrip()},
+-- tier-2 (short-doc band) buckets are individually hot: a pair backed
+-- ONLY by them needs >= short_min_bands distinct collisions
+-- (unified_candidate_pairs' closing groupBy rule)
+cand AS (
+    SELECT a, b FROM allp GROUP BY 1, 2
+    HAVING min(pa) = 0 OR count(*) >= {cfg.short_min_bands}
+),
 gated AS (
     SELECT c.a, c.b, xa.nt AS ta, xb.nt AS tb, xa.nc AS n, xb.nc AS m,
            (xa.nt = xb.nt) AS is_exact,
@@ -679,8 +761,9 @@ verified AS (
 def sw_verified_pairs_sql(cfg: DedupConfig = DEFAULT_DEDUP) -> str:
     """Full SQL oracle for the gated SW-verified-pairs query — output
     columns (a, b, score, similarity, exact, verified)."""
+    tier2 = f" {_short_band_cte(cfg)}," if cfg.short_doc_max_bytes > 0 else ""
     return _materialize(
-        f"WITH RECURSIVE {_shingle_cte(cfg)}, {_oph_band_cte(cfg)},"
+        f"WITH RECURSIVE {_shingle_cte(cfg)}, {_oph_band_cte(cfg)},{tier2}"
         f"{simhash_cte(cfg)}, {simhash_chunks_cte(cfg)}, {sw_verify_cte(cfg)}\n"
         "SELECT a, b, score, similarity, exact, verified FROM verified "
         "ORDER BY a, b"
@@ -692,8 +775,9 @@ def dedup_clusters_sql(cfg: DedupConfig = DEFAULT_DEDUP) -> str:
     edges -> connected components (min-id labeling via recursive reach,
     equal to the large/small-star fixpoint) — output (doc_id, cluster_id)
     for every document."""
+    tier2 = f" {_short_band_cte(cfg)}," if cfg.short_doc_max_bytes > 0 else ""
     return _materialize(
-        f"WITH RECURSIVE {_shingle_cte(cfg)}, {_oph_band_cte(cfg)},"
+        f"WITH RECURSIVE {_shingle_cte(cfg)}, {_oph_band_cte(cfg)},{tier2}"
         f"{simhash_cte(cfg)}, {simhash_chunks_cte(cfg)}, {sw_verify_cte(cfg)},\n"
         """
 edges AS (SELECT a, b FROM verified WHERE verified),

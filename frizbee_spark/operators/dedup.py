@@ -88,6 +88,26 @@ class DedupConfig:
     dense_cap: int = 32          # bucket size up to which all pairs are emitted
     salt_threshold: int = 5000   # bucket size above which salting kicks in
     n_salt: int = 64             # salt fan-out for hot buckets
+    short_doc_max_bytes: int = 320  # docs with n_bytes < this also emit a
+                                 # SECOND, narrower band tier. Short docs
+                                 # have few shingles, so scattered edits
+                                 # crater Jaccard (a 2-edit/50-word pair
+                                 # can sit at J~0.4, where the 32x4 tier
+                                 # catches only ~50%); the tier-2 envelope
+                                 # (64 bands x 2 rows over the same OPH
+                                 # signature) catches J=0.4 at ~0.9996
+                                 # with the >=short_min_bands rule below.
+                                 # 0 disables the tier.
+    short_bands: int = 64        # tier-2 band count (64*2 = all 128 perms)
+    short_band_rows: int = 2     # tier-2 rows per band
+    short_min_bands: int = 2     # tier-2 pairs need >= this many distinct
+                                 # band collisions. r=2 bands alone are hot
+                                 # (P ~ 64*J^2 fires at ~10% for the J~0.04
+                                 # background of real short web docs);
+                                 # requiring two independent collisions
+                                 # squares the chance rate (~0.5%) while
+                                 # J>=0.4 pairs collide ~10 times in
+                                 # expectation and lose ~3e-4 recall
     winnow_window: int = 64      # winnowing window (shingles) for span pass
     span_shingle_k: int = 48     # longer shingles for the span pass: chance
                                  # 48-byte collisions across unrelated docs
@@ -116,7 +136,18 @@ def signature_meta(cfg: DedupConfig = DEFAULT_DEDUP) -> dict:
         "shingle_k": cfg.shingle_k,
         "bands": cfg.bands,
         "band_rows": cfg.band_rows,
+        # tier-2 short-doc banding: signatures persisted without (or with
+        # different) tier-2 keys are probe-incompatible for short docs —
+        # same silent-recall-loss failure mode as a family change
+        "short_doc_max_bytes": cfg.short_doc_max_bytes,
+        "short_bands": cfg.short_bands,
+        "short_band_rows": cfg.short_band_rows,
     }
+
+
+# tier-2 band derivation seed — distinct from the main tier's seed=2
+# (hashing.band_hashes default) so the two key spaces never collide
+SHORT_BAND_SEED = 3
 
 _HTML_PREFIX = b"<html><body>"
 _HTML_SUFFIX = b"</body></html>"
@@ -171,8 +202,11 @@ def compute_signatures(
     """One vectorized pass: doc -> LSH band keys + SimHash (+ MinHash).
 
     Output: (doc_id, text_hash, n_bytes, band_keys array<long>,
-    simhash long[, minhash array<long>]). text_hash is xxhash64(norm_text)
-    computed JVM-side — the exact-duplicate fast path (survey A4).
+    short_band_keys array<long>, simhash long[, minhash array<long>]).
+    text_hash is xxhash64(norm_text) computed JVM-side — the
+    exact-duplicate fast path (survey A4). short_band_keys is the tier-2
+    narrow banding (DedupConfig.short_doc_max_bytes), empty for docs at
+    or above the threshold.
 
     The raw 128-permutation MinHash signature is computed (band keys
     derive from it) but NOT emitted unless ``keep_minhash`` — persisting
@@ -191,11 +225,19 @@ def compute_signatures(
     k, num_perm = cfg.shingle_k, cfg.num_perm
     bands, rows = cfg.bands, cfg.band_rows
 
+    short_tier = (
+        (cfg.short_bands, cfg.short_band_rows, SHORT_BAND_SEED)
+        if cfg.short_doc_max_bytes > 0 else None
+    )
+    short_max = cfg.short_doc_max_bytes
+    _empty = np.empty(0, dtype=np.int64)
+
     def run(batches):
         from ..functions.hashing import compute_signature_arrays
 
         for pdf in batches:
             texts = [t.encode("utf-8") for t in pdf["_t"].tolist()]
+            bnd2 = None
             if keep_minhash:
                 # unfused path: the raw signature matrix is requested
                 buf, starts = concat_docs(texts, min_len=k)
@@ -203,11 +245,16 @@ def compute_signatures(
                 sig = minhash_signatures(sh, sst, num_perm)
                 bnd = band_hashes(sig, bands, rows)
                 sim = simhash64(sh, sst)
+                if short_tier is not None:
+                    bnd2 = band_hashes(sig, *short_tier[:2], seed=short_tier[2])
             else:
                 # fused single pass (shingles stay cache-resident)
-                bnd, sim = compute_signature_arrays(
-                    texts, k, num_perm, bands, rows
+                res = compute_signature_arrays(
+                    texts, k, num_perm, bands, rows, short_tier=short_tier
                 )
+                bnd, sim = res[0], res[1]
+                if short_tier is not None:
+                    bnd2 = res[2]
             out = pdf[["doc_id", "text_hash", "n_bytes"]].copy()
             # ndarray cells are safe here: mapInPandas output always
             # crosses the Arrow schema below, which coerces ndarray ->
@@ -217,13 +264,21 @@ def compute_signatures(
             if keep_minhash:
                 out["minhash"] = list(sig.view(np.int64))
             out["band_keys"] = list(bnd)
+            if bnd2 is None:
+                out["short_band_keys"] = [_empty] * len(pdf)
+            else:
+                nb = pdf["n_bytes"].to_numpy()
+                out["short_band_keys"] = [
+                    b2 if n < short_max else _empty
+                    for b2, n in zip(bnd2, nb)
+                ]
             out["simhash"] = sim
             yield out
 
     mh = "minhash array<long>, " if keep_minhash else ""
     schema = (
         f"doc_id long, text_hash long, n_bytes long, "
-        f"{mh}band_keys array<long>, simhash long"
+        f"{mh}band_keys array<long>, short_band_keys array<long>, simhash long"
     )
     return work.mapInPandas(run, schema=schema)
 
@@ -460,11 +515,42 @@ def exact_hash_pairs(signatures: DataFrame, cfg: DedupConfig = DEFAULT_DEDUP) ->
 
 
 def lsh_band_pairs(signatures: DataFrame, cfg: DedupConfig = DEFAULT_DEDUP) -> DataFrame:
-    """MinHash-LSH candidate edges: same (band_id, band_key) bucket."""
+    """MinHash-LSH candidate edges: same (band_id, band_key) bucket.
+
+    Two tiers share ONE pair-generation pass: the main 32x4 bands (every
+    doc) and the tier-2 64x2 short-doc bands (band_id offset by
+    cfg.bands; see DedupConfig.short_doc_max_bytes). A tier-2-only pair
+    must collide in >= short_min_bands distinct bands — narrow bands are
+    individually hot, and requiring two independent collisions squares
+    the chance rate while costing ~3e-4 recall at J=0.4. The flag rides
+    the pairing shuffle as the kernel payload, so the multiplicity rule
+    costs zero extra shuffles (the closing groupBy replaces
+    dropDuplicates on the same keys)."""
     b = signatures.select(
         F.posexplode("band_keys").alias("band_id", "band_key"), "doc_id"
     )
-    return pairs_from_buckets(b, ["band_id", "band_key"], cfg)
+    if cfg.short_doc_max_bytes <= 0:
+        return pairs_from_buckets(b, ["band_id", "band_key"], cfg)
+    b2 = signatures.select(
+        F.posexplode("short_band_keys").alias("_p", "band_key"), "doc_id"
+    ).select(
+        (F.col("_p") + cfg.bands).alias("band_id"), "band_key", "doc_id"
+    )
+    buckets = (
+        b.withColumn("fl", F.lit(0))
+        .unionByName(b2.withColumn("fl", F.lit(1)))
+    )
+    raw = pairs_from_buckets(
+        buckets, ["band_id", "band_key"], cfg,
+        keep_multiplicity=True, payload="fl",
+    )
+    return (
+        raw.groupBy("a", "b")
+        .agg(F.min("payload_a").alias("_minfl"), F.count("*").alias("_n"))
+        .filter((F.col("_minfl") == 0)
+                | (F.col("_n") >= cfg.short_min_bands))
+        .select("a", "b")
+    )
 
 
 def minhash_jaccard_estimate(
@@ -506,16 +592,18 @@ def unified_candidate_pairs(
     signatures: DataFrame, cfg: DedupConfig = DEFAULT_DEDUP,
     include_simhash: bool = True,
 ) -> DataFrame:
-    """All three candidate sources through ONE pair-generation pass.
+    """All candidate sources through ONE pair-generation pass.
 
-    The exact-hash, MinHash-LSH-band, and SimHash-chunk bucket tables are
-    unioned under a single 64-bit bucket key (xxhash64 of source tag +
-    bucket coordinates) before pair generation, so the sizes/join/window
-    machinery of pairs_from_buckets runs once instead of three times —
-    ~3x fewer shuffles and scheduler stages than generating per-source
-    pairs and unioning afterwards. Source-specific post-filters (SimHash
-    Hamming) are applied downstream by verify_pairs' reject gate, which
-    every pair passes through anyway.
+    The exact-hash, MinHash-LSH-band, SimHash-chunk, and tier-2
+    short-doc-band bucket tables are unioned under a single 64-bit bucket
+    key (xxhash64 of source tag + bucket coordinates) before pair
+    generation, so the sizes/join/window machinery of pairs_from_buckets
+    runs once instead of per source — ~3-4x fewer shuffles and scheduler
+    stages than generating per-source pairs and unioning afterwards.
+    Source-specific post-filters (SimHash Hamming) are applied downstream
+    by verify_pairs' reject gate, which every pair passes through anyway;
+    the tier-2 multiplicity rule is applied by the closing groupBy (which
+    replaces dropDuplicates at the same shuffle cost).
     """
     exact_b = signatures.select(
         F.xxhash64(F.lit("exact"), "text_hash", "n_bytes").alias("bkey"), "doc_id"
@@ -541,7 +629,34 @@ def unified_candidate_pairs(
     buckets = exact_b.unionByName(lsh_b)
     if include_simhash:
         buckets = buckets.unionByName(sim_b)
-    raw = pairs_from_buckets(buckets, ["bkey"], cfg)
+    if cfg.short_doc_max_bytes > 0:
+        # tier-2 short-doc bands (see lsh_band_pairs): weak buckets,
+        # flagged so the closing groupBy can require >= short_min_bands
+        # independent collisions for tier-2-only pairs. The flag rides
+        # the one pairing shuffle as the kernel payload.
+        short_b = signatures.select(
+            F.posexplode("short_band_keys").alias("_p", "band_key"), "doc_id"
+        ).select(
+            F.xxhash64(F.lit("lsh2"), F.col("_p") + cfg.bands,
+                       "band_key").alias("bkey"),
+            "doc_id",
+        )
+        buckets = (
+            buckets.withColumn("fl", F.lit(0))
+            .unionByName(short_b.withColumn("fl", F.lit(1)))
+        )
+        raw = (
+            pairs_from_buckets(buckets, ["bkey"], cfg,
+                               keep_multiplicity=True, payload="fl")
+            .groupBy("a", "b")
+            .agg(F.min("payload_a").alias("_minfl"),
+                 F.count("*").alias("_n"))
+            .filter((F.col("_minfl") == 0)
+                    | (F.col("_n") >= cfg.short_min_bands))
+            .select("a", "b")
+        )
+    else:
+        raw = pairs_from_buckets(buckets, ["bkey"], cfg)
     # drop SimHash-chunk chance collisions NOW (one 8-byte join) so they
     # never reach a checkpoint or the text join: keep a pair iff it is an
     # exact dup or within the Hamming acceptance ball. This is the same

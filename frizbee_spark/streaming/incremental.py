@@ -39,10 +39,29 @@ from ..operators.dedup import (
 )
 
 
-def explode_bands(signatures: DataFrame) -> DataFrame:
-    return signatures.select(
+def explode_bands(
+    signatures: DataFrame, cfg: DedupConfig = DEFAULT_DEDUP
+) -> DataFrame:
+    """One row per (band, key, doc): the main tier plus (when present)
+    the tier-2 short-doc bands with band_id offset by cfg.bands — the
+    same disjoint id space the batch pair generators use.
+
+    Incremental note: the probe join treats tier-2 hits at multiplicity
+    >= 1 (vs the batch path's >= short_min_bands rule) — increments are
+    small, so the extra chance candidates are few and the SW verifier
+    rejects them; candidates are strictly a superset of the batch rule's.
+    """
+    main = signatures.select(
         F.posexplode("band_keys").alias("band_id", "band_key"), "doc_id"
     )
+    if cfg.short_doc_max_bytes <= 0 or "short_band_keys" not in signatures.columns:
+        return main
+    tier2 = signatures.select(
+        F.posexplode("short_band_keys").alias("_p", "band_key"), "doc_id"
+    ).select(
+        (F.col("_p") + cfg.bands).alias("band_id"), "band_key", "doc_id"
+    )
+    return main.unionByName(tier2)
 
 
 def incremental_dedup_batch(
@@ -60,7 +79,7 @@ def incremental_dedup_batch(
     """
     new_sigs = compute_signatures(new_docs, cfg, id_col=id_col, text_col=text_col)
 
-    new_bands = explode_bands(new_sigs)
+    new_bands = explode_bands(new_sigs, cfg)
     nn_pairs = pairs_from_buckets(new_bands, ["band_id", "band_key"], cfg)
     exact_nn = pairs_from_buckets(
         new_sigs.select("text_hash", "n_bytes", "doc_id"), ["text_hash", "n_bytes"], cfg
@@ -68,7 +87,7 @@ def incremental_dedup_batch(
     cand = nn_pairs.unionByName(exact_nn)
 
     if existing_signatures is not None:
-        old_bands = explode_bands(existing_signatures)
+        old_bands = explode_bands(existing_signatures, cfg)
         # probe join: every (band, key) hit links a new doc to an old doc
         ne = (
             new_bands.withColumnRenamed("doc_id", "new_id")

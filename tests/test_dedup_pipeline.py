@@ -629,3 +629,97 @@ class TestFilterGate:
         out = NearDupPipeline(spark, cfg).run(input_path=corpus_dir,
                                               until="signatures")
         assert out["signatures"].count() > 0
+
+
+class TestShortDocTier:
+    """Tier-2 short-doc banding (DedupConfig.short_doc_max_bytes): the
+    32x4 envelope catches a J~0.4 pair only ~50% of the time, which is
+    exactly where heavily-edited SHORT docs land (few shingles, every
+    edit kills 12 of them). The narrow tier widens the envelope for docs
+    under the byte threshold; tier-2-only pairs need >= short_min_bands
+    independent collisions so narrow-band chance collisions stay out."""
+
+    def test_low_jaccard_short_pair_clusters(self, spark, tmp_path):
+        from frizbee_spark.operators.dedup import (
+            DEFAULT_DEDUP, lsh_band_pairs, unified_candidate_pairs)
+
+        # the pair bench.py missed in rounds 2-4: ~190B docs at J~0.39
+        # (scattered word edits), below the main-tier envelope
+        base = ("zkdaftigu guxh vqlkjlnr dbhzbpm gljmjh kkc hjiobhz ljkvw "
+                "zejwqakl pgr cnotbnys eauy rqab pvcqvd banomzl tgyb "
+                "bcfflp adwq hixme wob zzu pqnnr")
+        edit = ("zkdaftigu guxh dbhzbpm gljmjh kkc hjiobhz ljkvw "
+                "zejwqakl pgr cnotbnys eauy tptw rqab pvcqvd banomzl "
+                "babzpfiiq bcfflp adwq hixtme wob zzu pqnnr")
+        rows = [("u_base", base), ("u_edit", edit)] + [
+            (f"u_f{i}",
+             " ".join(f"xq{i}w{j}k" for j in range(28)))
+            for i in range(40)
+        ]
+        df = with_doc_id(normalize_text(
+            spark.createDataFrame(rows, "url string, text string"),
+            "text"), "url")
+        sigs = compute_signatures(df)
+        # every planted doc is under the threshold -> tier2 keys present
+        assert sigs.filter(F.size("short_band_keys")
+                           == DEFAULT_DEDUP.short_bands).count() == 42
+        ids = {r["url"]: r["doc_id"]
+               for r in df.select("url", "doc_id").collect()}
+        a, b = sorted([ids["u_base"], ids["u_edit"]])
+        hit = unified_candidate_pairs(sigs).filter(
+            (F.col("a") == a) & (F.col("b") == b)).count()
+        assert hit == 1, "tier-2 must catch the J~0.39 short pair"
+        from frizbee_spark.util import release_tracked
+
+        release_tracked()
+
+    def test_long_docs_get_no_tier2_keys(self, spark):
+        rows = [("long1", "lorem ipsum " * 100), ("short1", "tiny doc x")]
+        df = with_doc_id(normalize_text(
+            spark.createDataFrame(rows, "url string, text string"),
+            "text"), "url")
+        got = {r["url"]: r for r in compute_signatures(df).join(
+            df.select("url", "doc_id"), "doc_id").collect()}
+        assert len(got["long1"]["short_band_keys"]) == 0
+        assert len(got["short1"]["short_band_keys"]) == 64
+        # and the tier can be disabled outright
+        off = compute_signatures(df, DedupConfig(short_doc_max_bytes=0))
+        assert off.filter(F.size("short_band_keys") > 0).count() == 0
+
+    def test_multiplicity_rule_on_crafted_signatures(self, spark):
+        """A tier-2-only pair with ONE shared band is rejected; two shared
+        bands accept; any shared main band accepts regardless."""
+        from frizbee_spark.operators.dedup import DEFAULT_DEDUP, lsh_band_pairs
+
+        def mk(doc_id, main, short):
+            return (doc_id, main, short)
+
+        # unique filler keys: doc_id*1000+i ; shared keys are negative
+        def mains(doc_id, shared=()):
+            ks = [doc_id * 1000 + i for i in range(32)]
+            for pos, key in shared:
+                ks[pos] = key
+            return ks
+
+        def shorts(doc_id, shared=()):
+            ks = [doc_id * 1000 + 500 + i for i in range(64)]
+            for pos, key in shared:
+                ks[pos] = key
+            return ks
+
+        rows = [
+            # X,Y: one shared tier-2 band -> NOT a candidate
+            mk(1, mains(1), shorts(1, [(3, -11)])),
+            mk(2, mains(2), shorts(2, [(3, -11)])),
+            # P,Q: two shared tier-2 bands -> candidate
+            mk(3, mains(3), shorts(3, [(5, -22), (9, -33)])),
+            mk(4, mains(4), shorts(4, [(5, -22), (9, -33)])),
+            # M,N: one shared MAIN band -> candidate
+            mk(5, mains(5, [(7, -44)]), shorts(5)),
+            mk(6, mains(6, [(7, -44)]), shorts(6)),
+        ]
+        sigs = spark.createDataFrame(
+            rows, "doc_id long, band_keys array<long>, "
+                  "short_band_keys array<long>")
+        got = {(r["a"], r["b"]) for r in lsh_band_pairs(sigs).collect()}
+        assert got == {(3, 4), (5, 6)}

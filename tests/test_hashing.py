@@ -218,3 +218,33 @@ class TestFusedSignatures:
 
         bnd, sim = compute_signature_arrays([], 12, 128, 32, 4)
         assert bnd.shape == (0, 32) and sim.shape == (0,)
+
+    def test_short_tier_equals_standalone_banding(self):
+        """The tier-2 band keys from the fused kernel must equal
+        band_hashes over the standalone signature — and differ from the
+        main tier (independent seed => disjoint key space)."""
+        import numpy as np
+        from frizbee_spark.functions.hashing import (
+            band_hashes, char_shingle_hashes, compute_signature_arrays,
+            concat_docs, minhash_signatures,
+        )
+        from frizbee_spark.operators.dedup import SHORT_BAND_SEED
+
+        rng = np.random.default_rng(11)
+        texts = [bytes(rng.integers(97, 123, size=int(n), dtype=np.uint8))
+                 for n in [30, 188, 320, 5000, 12]]
+        k, P = 12, 128
+        bnd, sim, bnd2 = compute_signature_arrays(
+            texts, k, P, 32, 4, short_tier=(64, 2, SHORT_BAND_SEED))
+        buf, starts = concat_docs(texts, min_len=k)
+        sh, sst = char_shingle_hashes(buf, starts, k)
+        sig = minhash_signatures(sh, sst, P)
+        assert (bnd2 == band_hashes(sig, 64, 2, seed=SHORT_BAND_SEED)).all()
+        assert bnd2.shape == (len(texts), 64)
+        # no cross-tier key collisions for the same docs
+        assert not np.isin(bnd2, bnd).any()
+
+        # empty-input shape contract with the tier enabled
+        e1, e2, e3 = compute_signature_arrays(
+            [], k, P, 32, 4, short_tier=(64, 2, SHORT_BAND_SEED))
+        assert e1.shape == (0, 32) and e3.shape == (0, 64)
