@@ -590,14 +590,20 @@ def q_media_stats(spark, sf_dir):
 
 
 def q_media_decode(spark, sf_dir):
-    """REAL media decode (r4): deterministic BMP/WAV/PPM blobs are
-    synthesized per doc_id (multimodal.synth_media_blob — pure function
-    of the id), then decode_media parses the actual bytes back in pure
-    NumPy. The oracle recomputes the planted dims / duration / constant
-    fill from doc_id arithmetic, so a mis-parsed header field, botched
-    BMP row padding, or wrong PCM sample width hash-mismatches. The
-    decoder column (always 'numpy' here) is asserted in pytest and
-    excluded from the contract projection."""
+    """REAL media decode (r4; PNG added r5): deterministic
+    BMP/WAV/PPM/PNG blobs are synthesized per doc_id
+    (multimodal.synth_media_blob — pure function of the id), then
+    decode_media parses the actual bytes back in pure NumPy (stdlib zlib
+    inflate + all-5-filter unfiltering for PNG). The oracle recomputes
+    the planted dims / duration / fill from doc_id arithmetic, so a
+    mis-parsed header field, botched BMP row padding, wrong PCM sample
+    width, or broken PNG unfilter hash-mismatches. mean_value is NOT
+    rounded: BMP/WAV/PPM plant integers and the PNG mean is one exact
+    integer-sum / n division that both engines evaluate to the
+    bit-identical double — rounding would instead hit the documented
+    .xx5 cross-engine tie (measured on 15/2000 ids). The decoder column
+    (always 'numpy' here) is asserted in pytest and excluded from the
+    contract projection."""
     from frizbee_spark.operators.multimodal import decode_media, synth_media
 
     blobs = synth_media(_docs(spark, sf_dir).select("doc_id"))
@@ -605,7 +611,7 @@ def q_media_decode(spark, sf_dir):
         "doc_id", "media_type", "width", "height", "n_channels",
         "sample_rate",
         F.round("duration_s", 4).alias("duration_s"),
-        F.round("mean_value", 4).alias("mean_value"),
+        "mean_value",
     ).orderBy("doc_id")
 
 
@@ -1344,29 +1350,61 @@ def oracle_sql() -> dict[str, str]:
             -- (synth_media_blob is a pure function of doc_id).
             -- n_frames is a multiple of 16 at sr=8000, so duration
             -- terminates within 3 decimals (no round-half ambiguity).
-            SELECT doc_id,
-                   CASE doc_id % 3 WHEN 0 THEN 'image/bmp'
-                                   WHEN 1 THEN 'audio/wav'
-                                   ELSE 'image/ppm' END AS media_type,
-                   CASE doc_id % 3 WHEN 0 THEN 4 + doc_id % 29
-                                   WHEN 1 THEN 0
-                                   ELSE 5 + doc_id % 23 END AS width,
-                   CASE doc_id % 3 WHEN 0 THEN 3 + doc_id % 17
-                                   WHEN 1 THEN 0
-                                   ELSE 2 + doc_id % 11 END AS height,
-                   (CASE doc_id % 3 WHEN 1 THEN 1 + doc_id % 2
-                                    ELSE 3 END)::BIGINT AS n_channels,
-                   (CASE doc_id % 3 WHEN 1 THEN 8000
-                                    ELSE 0 END)::BIGINT AS sample_rate,
-                   CASE doc_id % 3
-                        WHEN 1 THEN round((400 + (doc_id % 37) * 16) / 8000.0, 4)
+            -- PNG (doc_id % 4 = 3): pixel j = (doc_id + j) % 251; the
+            -- mean is the exact integer sum / n division (bit-identical
+            -- double on both engines; NOT rounded — see q_media_decode).
+            WITH base AS (
+                SELECT doc_id,
+                       (doc_id % 4 = 3) AS is_png,
+                       4 + doc_id % 21 AS pw,
+                       2 + doc_id % 13 AS ph,
+                       (CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3
+                                        ELSE 4 END)::BIGINT AS pch
+                FROM documents
+            ),
+            png AS (
+                SELECT b.doc_id,
+                       sum((b.doc_id + t.j) % 251)::DOUBLE
+                           / (b.pw * b.ph * b.pch) AS png_mean
+                FROM base b,
+                     unnest(generate_series(0, b.pw * b.ph * b.pch - 1))
+                         AS t(j)
+                WHERE b.is_png
+                GROUP BY b.doc_id, b.pw, b.ph, b.pch
+            )
+            SELECT b.doc_id,
+                   CASE WHEN b.is_png THEN 'image/png'
+                        ELSE CASE b.doc_id % 3 WHEN 0 THEN 'image/bmp'
+                                               WHEN 1 THEN 'audio/wav'
+                                               ELSE 'image/ppm' END
+                   END AS media_type,
+                   CASE WHEN b.is_png THEN b.pw
+                        ELSE CASE b.doc_id % 3 WHEN 0 THEN 4 + b.doc_id % 29
+                                               WHEN 1 THEN 0
+                                               ELSE 5 + b.doc_id % 23 END
+                   END AS width,
+                   CASE WHEN b.is_png THEN b.ph
+                        ELSE CASE b.doc_id % 3 WHEN 0 THEN 3 + b.doc_id % 17
+                                               WHEN 1 THEN 0
+                                               ELSE 2 + b.doc_id % 11 END
+                   END AS height,
+                   CASE WHEN b.is_png THEN b.pch
+                        ELSE (CASE b.doc_id % 3 WHEN 1 THEN 1 + b.doc_id % 2
+                                                ELSE 3 END)::BIGINT
+                   END AS n_channels,
+                   (CASE WHEN NOT b.is_png AND b.doc_id % 3 = 1 THEN 8000
+                         ELSE 0 END)::BIGINT AS sample_rate,
+                   CASE WHEN NOT b.is_png AND b.doc_id % 3 = 1
+                        THEN round((400 + (b.doc_id % 37) * 16) / 8000.0, 4)
                         ELSE 0.0 END AS duration_s,
-                   CASE doc_id % 3
-                        WHEN 0 THEN (doc_id % 251)::DOUBLE
-                        WHEN 1 THEN (doc_id % 1000 - 500)::DOUBLE
-                        ELSE (doc_id % 256)::DOUBLE END AS mean_value
-            FROM documents
-            ORDER BY doc_id
+                   CASE WHEN b.is_png THEN p.png_mean
+                        ELSE CASE b.doc_id % 3
+                                  WHEN 0 THEN (b.doc_id % 251)::DOUBLE
+                                  WHEN 1 THEN (b.doc_id % 1000 - 500)::DOUBLE
+                                  ELSE (b.doc_id % 256)::DOUBLE END
+                   END AS mean_value
+            FROM base b LEFT JOIN png p ON p.doc_id = b.doc_id
+            ORDER BY b.doc_id
         """,
         "span_exact_pairs": f"""
             WITH g AS (

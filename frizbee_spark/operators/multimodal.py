@@ -5,11 +5,12 @@ Pattern for 100 TB multimodal curation: media lives as `binary` columns
 resize / frame-sample run as vectorized Arrow UDFs via ``mapInPandas`` so
 each task streams record batches without materializing whole partitions.
 
-Decode coverage: the UNCOMPRESSED container formats — BMP (BI_RGB
-8/24/32bpp), WAV (PCM 8/16-bit), PPM/PGM (binary P6/P5) — are decoded
-for REAL in pure NumPy (header parse + vectorized pixel/sample stats; no
-PIL/ffmpeg needed). Compressed codecs (PNG/JPEG/MP3/MP4) still need the
-decode libraries absent from this container: those blobs raise
+Decode coverage: BMP (BI_RGB 8/24/32bpp), WAV (PCM 8/16-bit), PPM/PGM
+(binary P6/P5), and PNG (8-bit gray/RGB/LA/RGBA, non-interlaced — stdlib
+zlib inflate + NumPy unfiltering of all 5 filter types) are decoded for
+REAL in pure NumPy (no PIL/ffmpeg needed). The remaining compressed
+codecs (JPEG/MP3/MP4, plus palette/16-bit/Adam7 PNG) need decode
+libraries absent from this container: those blobs raise
 NotImplementedError unless ``allow_stub=True``, in which case a clearly
 marked deterministic fake (hash-derived dims/durations, decoder='stub')
 keeps the distributed plumbing exercisable.
@@ -168,6 +169,100 @@ def _decode_ppm(b: bytes):
     return (mime, w, h, ch, 0, 0.0, float(px.mean()))
 
 
+def _png_unfilter_row(line, prev, rec, f, ch):
+    """Reconstruct one PNG scanline in place (rec) from the filtered
+    bytes (line) and the previous reconstructed row (prev); all int64.
+    Filters per the PNG spec §9: 0 None, 1 Sub, 2 Up, 3 Average,
+    4 Paeth. Sub is a per-channel-lane prefix sum (vectorized); Average/
+    Paeth depend on the just-reconstructed left pixel, so they walk
+    pixels with the ch lanes vectorized."""
+    w = line.size // ch
+    if f == 0:
+        rec[:] = line
+    elif f == 1:  # Sub: x_i = raw_i + x_(i-ch) -> cumsum per lane
+        rec[:] = (line.reshape(w, ch).cumsum(axis=0) % 256).reshape(-1)
+    elif f == 2:  # Up
+        rec[:] = (line + prev) % 256
+    elif f == 3:  # Average
+        lr = line.reshape(w, ch)
+        pr = prev.reshape(w, ch)
+        out = rec.reshape(w, ch)
+        left = np.zeros(ch, dtype=np.int64)
+        for i in range(w):
+            left = (lr[i] + (left + pr[i]) // 2) % 256
+            out[i] = left
+    elif f == 4:  # Paeth
+        lr = line.reshape(w, ch)
+        pr = prev.reshape(w, ch)
+        out = rec.reshape(w, ch)
+        left = np.zeros(ch, dtype=np.int64)
+        upleft = np.zeros(ch, dtype=np.int64)
+        for i in range(w):
+            up = pr[i]
+            p = left + up - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - upleft)
+            pred = np.where((pa <= pb) & (pa <= pc), left,
+                            np.where(pb <= pc, up, upleft))
+            left = (lr[i] + pred) % 256
+            out[i] = left
+            upleft = up
+    else:
+        return False
+    return True
+
+
+def _decode_png(b: bytes):
+    """PNG via stdlib zlib + NumPy unfiltering (all 5 filter types):
+    8-bit gray/RGB/gray-alpha/RGBA, non-interlaced. Palette, 16-bit, and
+    Adam7 return None (out of scope). Returns the same tuple shape as
+    the other decoders: (mime, w, h, ch, 0, 0.0, mean_pixel_byte)."""
+    import zlib
+
+    if len(b) < 8 or b[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(b):
+        ln, = struct.unpack_from(">I", b, pos)
+        typ = b[pos + 4:pos + 8]
+        if pos + 12 + ln > len(b):
+            return None
+        if typ == b"IHDR":
+            if ln != 13:
+                return None
+            ihdr = struct.unpack_from(">IIBBBBB", b, pos + 8)
+        elif typ == b"IDAT":
+            idat.append(b[pos + 8:pos + 8 + ln])
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None or not idat:
+        return None
+    w, h, depth, ctype, comp, filt, inter = ihdr
+    ch = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
+    if depth != 8 or ch is None or comp != 0 or filt != 0 or inter != 0:
+        return None
+    if w <= 0 or h <= 0 or w * h * ch > 1 << 28:  # 256 MB decoded cap
+        return None
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        return None
+    raw = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    total = 0
+    prev = np.zeros(stride, dtype=np.int64)
+    rec = np.empty(stride, dtype=np.int64)
+    for r in range(h):
+        if not _png_unfilter_row(raw[r, 1:].astype(np.int64), prev, rec,
+                                 int(raw[r, 0]), ch):
+            return None
+        total += int(rec.sum())
+        prev, rec = rec, prev  # reuse buffers; prev now holds row r
+    return ("image/png", w, h, ch, 0, 0.0, total / (h * stride))
+
+
 def decode_media(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -176,19 +271,21 @@ def decode_media(
 ) -> DataFrame:
     """Decode media metadata + content stats from binary blobs.
 
-    REAL pure-NumPy decode for the uncompressed formats — BMP (BI_RGB
-    8/24/32bpp), WAV (PCM 8/16-bit), PPM/PGM (binary) — emitting
-    (media_type, width, height, n_channels, sample_rate, duration_s,
-    mean_value, decoder='numpy'). Inapplicable fields are 0 (images have
-    no sample_rate/duration; audio has no dims) so the output is
-    null-free. ``mean_value`` is the mean pixel byte (row padding
-    excluded for BMP) or mean PCM sample — a value any oracle can verify
-    on planted fixtures.
+    REAL pure-NumPy decode for BMP (BI_RGB 8/24/32bpp), WAV (PCM
+    8/16-bit), PPM/PGM (binary), and PNG (8-bit gray/RGB/LA/RGBA,
+    non-interlaced; stdlib zlib + all-5-filter NumPy unfiltering) —
+    emitting (media_type, width, height, n_channels, sample_rate,
+    duration_s, mean_value, decoder='numpy'). Inapplicable fields are 0
+    (images have no sample_rate/duration; audio has no dims) so the
+    output is null-free. ``mean_value`` is the mean pixel byte (row
+    padding excluded for BMP) or mean PCM sample — a value any oracle
+    can verify on planted fixtures.
 
-    Compressed codecs (PNG/JPEG/...) need PIL/ffmpeg, absent in this
-    container: such blobs raise NotImplementedError (executor-side, so
-    one bad blob names itself) unless ``allow_stub=True``, which emits
-    the deterministic hash-derived fake marked decoder='stub'.
+    The remaining compressed codecs (JPEG/MP3/MP4, exotic PNGs) need
+    PIL/ffmpeg, absent in this container: such blobs raise
+    NotImplementedError (executor-side, so one bad blob names itself)
+    unless ``allow_stub=True``, which emits the deterministic
+    hash-derived fake marked decoder='stub'.
     """
     work = df.select(F.col(id_col).alias("doc_id"), F.col(binary_col).alias("_m"))
 
@@ -197,16 +294,18 @@ def decode_media(
             rows = []
             for d, raw in zip(pdf["doc_id"], pdf["_m"]):
                 b = bytes(raw) if raw is not None else b""
-                got = _decode_bmp(b) or _decode_wav(b) or _decode_ppm(b)
+                got = (_decode_bmp(b) or _decode_wav(b) or _decode_ppm(b)
+                       or _decode_png(b))
                 if got is not None:
                     rows.append((d, *got, "numpy"))
                     continue
                 if not allow_stub:
                     raise NotImplementedError(
-                        f"doc_id={d}: not an uncompressed BMP/WAV/PPM blob; "
-                        "compressed codecs need PIL/ffmpeg (not in this "
-                        "container) — pass allow_stub=True for the "
-                        "deterministic fake decoder"
+                        f"doc_id={d}: not a decodable BMP/WAV/PPM/PNG blob "
+                        "(PNG coverage: 8-bit gray/RGB/LA/RGBA, "
+                        "non-interlaced); JPEG/MP3/MP4 and exotic PNGs "
+                        "need PIL/ffmpeg (not in this container) — pass "
+                        "allow_stub=True for the deterministic fake decoder"
                     )
                 # deterministic fake: dims/duration from hash bits (STUB)
                 h = int(hash64_bytes(b))
@@ -242,8 +341,64 @@ def decode_media(
 SYNTH_WAV_SR = 8000
 
 
+def _png_encode(doc_id: int) -> bytes:
+    """Deterministic PNG fixture: dims/color-type from doc_id arithmetic,
+    pixel j = (doc_id + j) % 251 (a full gradient, so no filter is
+    degenerate), row r filtered with type (doc_id + r) % 5 — every
+    unfilter path is exercised and the planted mean is recomputable by
+    the oracle as avg((doc_id + j) % 251)."""
+    import zlib
+
+    w = 4 + doc_id % 21
+    h = 2 + doc_id % 13
+    ctype = (0, 2, 6)[doc_id % 3]
+    ch = {0: 1, 2: 3, 6: 4}[ctype]
+    stride = w * ch
+    px = ((doc_id + np.arange(h * stride, dtype=np.int64)) % 251).reshape(
+        h, stride)
+    out = bytearray()
+    prev = np.zeros(stride, dtype=np.int64)
+    for r in range(h):
+        x = px[r]
+        f = (doc_id + r) % 5
+        left = np.zeros(stride, dtype=np.int64)
+        left[ch:] = x[:-ch]
+        upleft = np.zeros(stride, dtype=np.int64)
+        upleft[ch:] = prev[:-ch]
+        if f == 0:
+            raw = x
+        elif f == 1:
+            raw = x - left
+        elif f == 2:
+            raw = x - prev
+        elif f == 3:
+            raw = x - (left + prev) // 2
+        else:
+            p = left + prev - upleft
+            pa, pb, pc = (np.abs(p - left), np.abs(p - prev),
+                          np.abs(p - upleft))
+            pred = np.where((pa <= pb) & (pa <= pc), left,
+                            np.where(pb <= pc, prev, upleft))
+            raw = x - pred
+        out.append(f)
+        out += (raw % 256).astype(np.uint8).tobytes()
+        prev = x
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(out)))
+            + chunk(b"IEND", b""))
+
+
 def synth_media_blob(doc_id: int) -> bytes:
-    """doc_id % 3 == 0 -> 24bpp BMP, 1 -> 16-bit PCM WAV, 2 -> P6 PPM."""
+    """doc_id % 4: 0 -> 24bpp BMP, 1 -> 16-bit PCM WAV, 2 -> P6 PPM,
+    3 -> PNG (gradient pixels, all 5 row filters)."""
+    if doc_id % 4 == 3:
+        return _png_encode(doc_id)
     m = doc_id % 3
     if m == 0:
         w, h, c = 4 + doc_id % 29, 3 + doc_id % 17, doc_id % 251

@@ -69,16 +69,26 @@ class TestMultimodal:
             assert row[-1] == "stub"  # decoder column marks the fake
 
     def test_decode_real_roundtrip(self, spark):
-        """Encode->decode round trip over all three real codecs via the
-        Spark operator: planted dims / duration / constant fill must
-        come back exactly (VERDICT r3 item 6 — the stub became real)."""
-        ids = list(range(90))  # 30 of each format, incl. BMP row-padding
-        df = synth_media(spark.range(90).withColumnRenamed("id", "doc_id"))
+        """Encode->decode round trip over all four real codecs via the
+        Spark operator: planted dims / duration / fill must come back
+        exactly (VERDICT r3 item 6 — the stub became real; PNG r5)."""
+        import numpy as np
+
+        ids = list(range(120))  # all formats, incl. BMP row-padding
+        df = synth_media(spark.range(120).withColumnRenamed("id", "doc_id"))
         got = {r["doc_id"]: r for r in decode_media(df).collect()}
         assert len(got) == len(ids)
         for d in ids:
             r = got[d]
             assert r["decoder"] == "numpy"
+            if d % 4 == 3:
+                w, h = 4 + d % 21, 2 + d % 13
+                ch = {0: 1, 1: 3, 2: 4}[d % 3]
+                assert (r["media_type"], r["width"], r["height"],
+                        r["n_channels"]) == ("image/png", w, h, ch)
+                want = float(np.mean((d + np.arange(w * h * ch)) % 251))
+                assert r["mean_value"] == want
+                continue
             m = d % 3
             if m == 0:
                 assert (r["media_type"], r["width"], r["height"],
@@ -125,6 +135,57 @@ class TestMultimodal:
         assert _decode_wav(b"RIFF\x24\x00\x00\x00WAVE" + b"\x22" * 9000) is None
         assert _decode_bmp(synth_media_blob(0)[:40]) is None
         assert _decode_ppm(b"P6\n3 2\n255\n" + b"\x00" * 5) is None
+
+    def test_png_filters_and_variants(self):
+        """Driver-side PNG coverage: every row filter type reconstructs
+        (the fixture rotates filters 0-4 by row), gray/RGB/RGBA channel
+        layouts decode, and out-of-scope variants return None instead of
+        garbage."""
+        import zlib
+
+        import numpy as np
+
+        from frizbee_spark.operators.multimodal import (
+            _decode_png, _png_encode)
+
+        # ids 0..4 rotate the starting filter; %3 rotates color type
+        for d in range(15):
+            b = _png_encode(d)
+            got = _decode_png(b)
+            w, h = 4 + d % 21, 2 + d % 13
+            ch = {0: 1, 1: 3, 2: 4}[d % 3]
+            want = float(np.mean((d + np.arange(w * h * ch)) % 251))
+            assert got == ("image/png", w, h, ch, 0, 0.0, want), d
+
+        def patch(b, off, val):
+            return b[:off] + bytes([val]) + b[off + 1:]
+
+        good = _png_encode(7)
+        # IHDR layout: sig(8) len(4) 'IHDR'(4) w(4) h(4) depth ctype ...
+        assert _decode_png(patch(good, 24, 16)) is None      # 16-bit depth
+        assert _decode_png(patch(good, 25, 3)) is None       # palette
+        assert _decode_png(patch(good, 28, 1)) is None       # Adam7
+        assert _decode_png(good[:40]) is None                # truncated
+        assert _decode_png(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64) is None
+        # corrupt the zlib stream -> clean None, not an exception
+        idat_off = good.find(b"IDAT") + 4
+        assert _decode_png(patch(good, idat_off + 1, 0xFF)) is None
+
+        # hand-built 1x1 gray PNGs: filter byte 5 -> None; stream whose
+        # decompressed length mismatches h*(stride+1) -> None
+        def tiny(raw_scanlines):
+            def chunk(typ, data):
+                return (struct.pack(">I", len(data)) + typ + data
+                        + struct.pack(">I", zlib.crc32(typ + data)))
+            ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0)
+            return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                    + chunk(b"IDAT", zlib.compress(raw_scanlines))
+                    + chunk(b"IEND", b""))
+
+        assert _decode_png(tiny(b"\x00\x2a")) == \
+            ("image/png", 1, 1, 1, 0, 0.0, 42.0)
+        assert _decode_png(tiny(b"\x05\x2a")) is None    # filter 5
+        assert _decode_png(tiny(b"\x00\x2a\x00")) is None  # length mismatch
 
     def test_sniff_new_formats(self, spark):
         rows = [(1, synth_media_blob(0)), (2, synth_media_blob(1)),
