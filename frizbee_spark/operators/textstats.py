@@ -308,29 +308,23 @@ def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     )
 
 
-def shingle_jaccard_pairs(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    k: int = 3,
-    threshold: float = 0.5,
-    max_shingle_freq: int = 1000,
+def _shingle_intersection(
+    df: DataFrame, id_col: str, text_col: str, k: int, max_shingle_freq: int
 ) -> DataFrame:
-    """Exact k-word-shingle Jaccard over all pairs — the brute-force
-    n-gram dedup operator (and the oracle MinHash-LSH approximates).
-
-    Plan shape: explode distinct shingles -> self-equi-join on shingle
-    (Catalyst sort-merge; the shingle key distributes the quadratic work)
-    -> pair-count aggregate -> join per-doc set sizes. At 100 TB this
-    exact variant is only run on samples / bucket-candidates; the LSH
-    path replaces the all-pairs join.
+    """Shared subplan of the exact shingle-pair operators: explode
+    distinct k-word shingles -> hot-shingle cap -> shingle-keyed
+    self-join -> per-pair intersection count + both set sizes. Output:
+    (a, b, i, na, nb) for a < b. ONE implementation on purpose — the
+    Jaccard and containment operators (and their two SQL oracles) depend
+    on bit-identical cap semantics, which is exactly what would drift if
+    this subplan were pasted per operator.
 
     ``max_shingle_freq`` drops shingles appearing in more docs than the
     cap from the intersection join: a boilerplate shingle in m docs emits
     C(m, 2) join rows, a single hot key that kills the stage at scale.
-    Dropped shingles still count toward set sizes, so Jaccard for pairs
-    kept together only by boilerplate is (correctly) underestimated. The
-    SQL oracle applies the identical cap.
+    Dropped shingles still count toward set sizes, so ratios for pairs
+    kept together only by boilerplate are (correctly) underestimated. The
+    SQL oracles apply the identical cap.
     """
     from ..util import widen_if_narrow
 
@@ -360,6 +354,29 @@ def shingle_jaccard_pairs(
     return (
         inter.join(sizes.withColumnsRenamed({"doc_id": "a", "n_sh": "na"}), "a")
         .join(sizes.withColumnsRenamed({"doc_id": "b", "n_sh": "nb"}), "b")
+    )
+
+
+def shingle_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: int = 1000,
+) -> DataFrame:
+    """Exact k-word-shingle Jaccard over all pairs — the brute-force
+    n-gram dedup operator (and the oracle MinHash-LSH approximates).
+
+    Plan shape: explode distinct shingles -> self-equi-join on shingle
+    (Catalyst sort-merge; the shingle key distributes the quadratic work)
+    -> pair-count aggregate -> join per-doc set sizes (shared subplan:
+    :func:`_shingle_intersection`, incl. the hot-shingle cap). At 100 TB
+    this exact variant is only run on samples / bucket-candidates; the
+    LSH path replaces the all-pairs join.
+    """
+    return (
+        _shingle_intersection(df, id_col, text_col, k, max_shingle_freq)
         .withColumn("jaccard", F.round(F.col("i") / (F.col("na") + F.col("nb") - F.col("i")), 4))
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
@@ -385,36 +402,11 @@ def shingle_containment_pairs(
     either ROUNDED direction reaches ``threshold`` (rounding first keeps
     the SQL oracle's cut identical). Plan shape, hot-shingle cap, and
     scale caveats are exactly :func:`shingle_jaccard_pairs` — the two
-    differ only in the final ratio.
+    share :func:`_shingle_intersection` and differ only in the final
+    ratio.
     """
-    from ..util import widen_if_narrow
-
-    df = widen_if_narrow(df)
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    shingles = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
-        )
-    )
-    sh = df.select(F.col(id_col).alias("doc_id"), F.explode(shingles).alias("sh"))
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    rare = (
-        sh.groupBy("sh").agg(F.count("*").alias("_df"))
-        .filter(F.col("_df") <= max_shingle_freq)
-        .select("sh")
-    )
-    capped = sh.join(rare, "sh")
-    inter = (
-        capped.alias("x")
-        .join(capped.alias("y"), (F.col("x.sh") == F.col("y.sh"))
-              & (F.col("x.doc_id") < F.col("y.doc_id")))
-        .groupBy(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
-        .agg(F.count("*").alias("i"))
-    )
     return (
-        inter.join(sizes.withColumnsRenamed({"doc_id": "a", "n_sh": "na"}), "a")
-        .join(sizes.withColumnsRenamed({"doc_id": "b", "n_sh": "nb"}), "b")
+        _shingle_intersection(df, id_col, text_col, k, max_shingle_freq)
         .withColumn("contain_a_in_b", F.round(F.col("i") / F.col("na"), 4))
         .withColumn("contain_b_in_a", F.round(F.col("i") / F.col("nb"), 4))
         .filter(
