@@ -62,16 +62,21 @@ from .operators.dedup import (
 )
 
 STAGES = (
-    "documents", "filter", "signatures", "candidates", "span_pairs",
-    "span_report", "verified", "edges", "clusters", "canonical",
+    "documents", "filter", "perplexity", "sample", "signatures",
+    "candidates", "span_pairs", "span_report", "verified", "edges",
+    "clusters", "canonical",
 )
 
 # stages whose output is consumed exactly once by the next stage — flowing
 # them through keeps candidate generation + verification one Spark query
-# (AQE plans the joins end-to-end) instead of three serialized jobs
+# (AQE plans the joins end-to-end) instead of three serialized jobs.
+# perplexity IS checkpointed: its decision table costs a corpus-level
+# model build (two aggregates + a model join), and the gated documents
+# frame feeds several downstream consumers that would each re-train the
+# model if it flowed through. filter/sample are cheap per-row Catalyst.
 DEFAULT_CHECKPOINTS = (
-    "documents", "signatures", "span_pairs", "span_report", "verified",
-    "clusters", "canonical",
+    "documents", "perplexity", "signatures", "span_pairs", "span_report",
+    "verified", "clusters", "canonical",
 )
 
 
@@ -96,6 +101,24 @@ class PipelineConfig:
     # gate's identity is stamped into the signatures checkpoint meta, so
     # toggling it between runs of one workdir fails the resume loudly
     # instead of silently mixing doc sets.
+    enable_perplexity: bool = False  # bigram-LM perplexity gate (CCNet-
+    # style) AFTER the corpus_filter gate: lm_perplexity scores every
+    # surviving doc under a model trained on those same docs, and rows
+    # outside [ppl_min, ppl_max] are dropped before any signature work.
+    # The scored table is the checkpointed 'perplexity' stage (keep
+    # column included); the band is stamped into the signatures meta, so
+    # toggling or re-banding one workdir fails its resume loudly.
+    perplexity_opts: dict | None = None  # {'ppl_min': float,
+    # 'ppl_max': float, 'text_col': str}; defaults: no lower bound,
+    # ppl_max required (the filter's whole point is the high-perplexity
+    # tail). Docs with < 2 tokens have no bigrams, hence no score: the
+    # gate DROPS them (no LM signal — same rows a CCNet band drops).
+    enable_sample: bool = False  # stratified corpus-mixing downsample
+    # (textstats.stratified_sample) after the gates, before dedup:
+    # deterministic md5-per-id rates per stratum. The kept-id + weight
+    # table is the 'sample' stage output.
+    sample_opts: dict | None = None  # kwargs for stratified_sample;
+    # 'rates' is required, 'stratum_col' defaults to 'lang'
     check_extraction: bool = True   # assert extracted_text == text per url
     check_id_collisions: bool = True
     doc_partitions: int | None = None   # force a doc_id hash layout on the
@@ -515,6 +538,94 @@ class NearDupPipeline:
             self.flush_metrics()
             return out
 
+        # perplexity gate: score the (filter-surviving) docs under a
+        # bigram LM trained on those same docs, keep the configured band.
+        # Runs BEFORE the span/signature closures capture `documents`.
+        ppl_opts_eff: dict = {}
+        if cfg.enable_perplexity:
+            from .operators.textstats import lm_perplexity
+
+            ppl_opts_eff = dict(cfg.perplexity_opts or {})
+            if "ppl_max" not in ppl_opts_eff:
+                raise ValueError(
+                    "enable_perplexity requires perplexity_opts['ppl_max'] "
+                    "— the gate exists to cut the high-perplexity tail"
+                )
+            ppl_opts_eff.setdefault("ppl_min", 0.0)
+            ppl_opts_eff.setdefault(
+                "text_col",
+                "text" if "text" in documents.columns else "norm_text",
+            )
+            ppl_min = float(ppl_opts_eff["ppl_min"])
+            ppl_max = float(ppl_opts_eff["ppl_max"])
+            docs_for_ppl = documents  # bind NOW: the closure must score
+            # the gated set even after `documents` is rebound below
+
+            def s_perplexity():
+                scored = lm_perplexity(
+                    docs_for_ppl, text_col=ppl_opts_eff["text_col"])
+                return scored.withColumn(
+                    "keep",
+                    (F.col("perplexity") >= ppl_min)
+                    & (F.col("perplexity") <= ppl_max),
+                )
+
+            ppl = self._stage(
+                "perplexity", s_perplexity,
+                meta={"gate": "lm-perplexity-bigram-laplace-v1",
+                      **{k: ppl_opts_eff[k]
+                         for k in ("ppl_min", "ppl_max", "text_col")}},
+            )
+            out["perplexity"] = ppl
+            documents = documents.join(
+                ppl.filter("keep").select("doc_id"), "doc_id", "left_semi"
+            )
+        if until == "perplexity":
+            if not cfg.enable_perplexity:
+                raise ValueError(
+                    "run(until='perplexity') requires "
+                    "cfg.enable_perplexity=True (the gate is opt-in)"
+                )
+            _join_check()
+            self.flush_metrics()
+            return out
+
+        # corpus-mixing downsample: deterministic per-stratum md5 rates
+        # (pure per-row Catalyst — flow-through, zero shuffle)
+        sample_opts_eff: dict = {}
+        if cfg.enable_sample:
+            from .operators.textstats import stratified_sample
+
+            sample_opts_eff = dict(cfg.sample_opts or {})
+            if "rates" not in sample_opts_eff:
+                raise ValueError(
+                    "enable_sample requires sample_opts['rates'] "
+                    "(per-stratum keep rates for stratified_sample)"
+                )
+            sample_opts_eff.setdefault("stratum_col", "lang")
+            docs_for_sample = documents
+            kept = self._stage(
+                "sample",
+                lambda: stratified_sample(
+                    docs_for_sample.select(
+                        "doc_id", sample_opts_eff["stratum_col"]),
+                    **sample_opts_eff,
+                ).select("doc_id", "sample_u", "sample_weight"),
+            )
+            out["sample"] = kept
+            documents = documents.join(
+                kept.select("doc_id"), "doc_id", "left_semi"
+            )
+        if until == "sample":
+            if not cfg.enable_sample:
+                raise ValueError(
+                    "run(until='sample') requires cfg.enable_sample=True "
+                    "(the downsample is opt-in)"
+                )
+            _join_check()
+            self.flush_metrics()
+            return out
+
         # span_pairs depends only on `documents` — launch it on a second
         # submission thread so Spark schedules it CONCURRENTLY with the
         # signatures -> candidates -> verify chain (independent DAG
@@ -579,7 +690,15 @@ class NearDupPipeline:
                 meta={**signature_meta(d),
                       **({"input_gate": {"gate": "corpus_filter-v1",
                                          **filter_opts_eff}}
-                         if cfg.enable_filter else {})},
+                         if cfg.enable_filter else {}),
+                      **({"perplexity_gate": {
+                              "gate": "lm-perplexity-bigram-laplace-v1",
+                              **{k: ppl_opts_eff[k] for k in
+                                 ("ppl_min", "ppl_max", "text_col")}}}
+                         if cfg.enable_perplexity else {}),
+                      **({"sample_gate": {"gate": "stratified-md5-v1",
+                                          **sample_opts_eff}}
+                         if cfg.enable_sample else {})},
             )
             out["signatures"] = signatures
             if until == "signatures":

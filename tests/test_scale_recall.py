@@ -188,3 +188,121 @@ def test_giant_family_one_cluster_at_400k(spark):
     from frizbee_spark.util import release_tracked
 
     release_tracked()
+
+
+@pytest.mark.spark
+def test_curation_pipeline_e2e_with_resume_at_100k(spark, tmp_path):
+    """filter -> perplexity -> sample -> dedup as ONE composable
+    NearDupPipeline run at 100k docs (VERDICT r4 item 6), with a mid-kill
+    resume producing identical clusters.
+
+    Corpus construction (all doc_id arithmetic, so every expectation is
+    exact): stubs fail the filter; gibberish docs (unique-token) land
+    orders of magnitude above the perplexity band while shared-vocab
+    docs land well inside it; a minority 'xx' stratum is downsampled at
+    0.5 while 'en' keeps rate 1.0; planted exact (id%100==1 copies id-1)
+    and near (id%100==2 edits id-2's last token) duplicate pairs must
+    cluster — and none of the planted ids fall in a dropped class.
+    """
+    from frizbee_spark.pipeline import NearDupPipeline, PipelineConfig
+    from frizbee_spark.operators.textstats import stratified_sample
+
+    N = 100_000
+    tok = lambda seed: F.concat(  # noqa: E731 — vocab-50 token
+        F.lit("w"),
+        (F.conv(F.substring(F.md5(seed), 1, 8), 16, 10) % 50).cast("int"))
+    own = [tok(F.concat(F.col("id").cast("string"), F.lit(f"@{t}")))
+           for t in range(12)]
+    donor1 = [tok(F.concat((F.col("id") - 1).cast("string"), F.lit(f"@{t}")))
+              for t in range(12)]
+    donor2 = [tok(F.concat((F.col("id") - 2).cast("string"), F.lit(f"@{t}")))
+              for t in range(12)]
+    gib = [F.md5(F.concat(F.col("id").cast("string"), F.lit(f"#g{t}")))
+           for t in range(12)]
+    docs = spark.range(N).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 10 == 9, F.lit("tiny stub row"))        # filter
+        .when(F.col("id") % 100 == 4, F.concat_ws(" ", *gib))        # ppl
+        .when(F.col("id") % 100 == 1, F.concat_ws(" ", *donor1))     # exact
+        .when(F.col("id") % 100 == 2, F.concat_ws(" ", *donor2[:11],
+                                                  own[11]))          # near
+        .otherwise(F.concat_ws(" ", *own)).alias("text"),
+        F.when(F.col("id") % 10 == 7, F.lit("xx"))
+        .otherwise(F.lit("en")).alias("lang"),
+    )
+    cfg = PipelineConfig(
+        workdir=str(tmp_path / "curated100k"),
+        enable_filter=True,
+        filter_opts={"min_chars": 30, "min_tokens": 4,
+                     "require_lang_signal": False,
+                     "max_top_unigram_frac": 1.0,
+                     "max_dup_gram_frac": 1.0},
+        enable_perplexity=True,
+        perplexity_opts={"ppl_max": 1000.0},
+        enable_sample=True,
+        sample_opts={"rates": {"en": 1.0, "xx": 0.5}},
+    )
+    out = NearDupPipeline(spark, cfg).run(docs=docs)
+
+    # gate accounting is exact by construction
+    dec = out["filter"]
+    assert dec.count() == N
+    assert dec.filter("NOT keep").count() == N // 10          # the stubs
+    ppl = out["perplexity"]
+    # gibberish ids are scored far above the band; everything else inside
+    gib_ids = ppl.filter((F.col("doc_id") % 100 == 4)
+                         & (F.col("doc_id") % 10 != 9))
+    assert gib_ids.filter("keep").count() == 0
+    assert gib_ids.filter("perplexity <= 1000").count() == 0
+    assert ppl.filter((F.col("doc_id") % 100 != 4) & F.col("keep")).count() \
+        == ppl.filter(F.col("doc_id") % 100 != 4).count()
+    # sampling: kept set == an independent direct stratified_sample call
+    kept = out["sample"]
+    direct = stratified_sample(
+        docs.filter((F.col("id") % 10 != 9) & (F.col("id") % 100 != 4))
+            .select(F.col("doc_id"), "lang"),
+        rates={"en": 1.0, "xx": 0.5})
+    assert kept.count() == direct.count()
+    assert kept.join(direct.select("doc_id"), "doc_id", "left_anti").count() == 0
+    n_xx = kept.join(docs.filter(F.col("lang") == "xx").select("doc_id"),
+                     "doc_id", "left_semi").count()
+    assert 0 < n_xx < N // 10  # really downsampled, really nonempty
+
+    # every planted pair clusters (none of the planted ids is dropped:
+    # %100 in {1,2} and donors %100 in {0,99...} -- donor of id%100==1 is
+    # id-1 (%100==0), of ==2 is id-2 (%100==0); none are stubs (%10==9),
+    # gibberish (%100==4), or 'xx' (%10==7)
+    clus = {r["doc_id"]: r["cluster_id"] for r in out["clusters"].collect()}
+    pairs = [(i - 1, i) for i in range(1, N, 100)] + \
+            [(i - 2, i) for i in range(2, N, 100)]
+    missed = [(a, b) for a, b in pairs if clus.get(a) != clus.get(b)]
+    assert not missed, f"{len(missed)} planted pairs unclustered: {missed[:5]}"
+
+    # signatures exist for EXACTLY the fully-gated set (the sample
+    # stage's kept table is the last gate): no signature/verify work was
+    # spent on any dropped row
+    assert out["signatures"].count() == kept.count()
+    assert out["clusters"].count() == kept.count()
+
+    # ---- mid-kill resume: wipe everything after signatures, rerun ----
+    import shutil as sh
+
+    for stage in ("verified", "clusters", "canonical", "span_report"):
+        sh.rmtree(str(tmp_path / "curated100k" / stage), ignore_errors=True)
+    out2 = NearDupPipeline(spark, cfg).run(docs=docs)
+    clus2 = {r["doc_id"]: r["cluster_id"] for r in out2["clusters"].collect()}
+    assert clus2 == clus
+
+    # toggling the perplexity band must fail the resume loudly, not mix
+    cfg_bad = PipelineConfig(
+        workdir=str(tmp_path / "curated100k"),
+        enable_filter=True,
+        filter_opts=dict(cfg.filter_opts),
+        enable_perplexity=True, perplexity_opts={"ppl_max": 500.0},
+        enable_sample=True, sample_opts={"rates": {"en": 1.0, "xx": 0.5}},
+    )
+    with pytest.raises(RuntimeError, match="incompatible"):
+        NearDupPipeline(spark, cfg_bad).run(docs=docs, until="perplexity")
+    from frizbee_spark.util import release_tracked
+
+    release_tracked()
