@@ -231,3 +231,94 @@ class TestFuzzyJoin:
         assert fuzzy_join(
             docs, small, config=MatchConfig(max_typos=16),
             per_needle_limit=3).count() == 3
+
+
+class TestFuzzyJoinNeedleScale:
+    def test_10k_needle_cap_envelope(self, spark):
+        """The documented fuzzy_join envelope made executable (VERDICT r4
+        item 7): the FULL 10k-needle dictionary against a 100k-doc corpus.
+
+        Measured once at the full 100k-doc envelope on this host
+        (local[8]): 304s = 33 needles/sec = 3.3M needle-doc pairs/sec,
+        prefilter-bound (recorded in BENCH.md). The suite runs the same
+        10k-needle dictionary against 25k docs to stay inside the pytest
+        budget — the cap, broadcast, plan shape, and linearity claims are
+        corpus-size-independent.
+
+        Structure under test: (a) the 10k dictionary serializes far under
+        spark.sql.autoBroadcastJoinThreshold (it rides the mapInPandas
+        closure — a broadcast-sized payload by design); (b) the corpus is
+        scanned exactly ONCE regardless of needle count (per-needle work
+        happens inside the one kernel pass); (c) planted needles come
+        back correct while the non-matching bulk is prefilter-pruned —
+        the realistic entity-dictionary regime (typo budget 0, rare-char
+        needles reject before any DP). Wall growth in needles is printed
+        as needles/sec and guarded only by a generous 4x-needles <= 10x
+        -wall ratio (quadratic would be 16x): this host's ambient noise
+        forbids tight wall asserts (BENCH.md convention).
+        """
+        import time
+
+        from pyspark.sql import functions as F
+
+        from frizbee_spark.operators.fuzzy import fuzzy_join
+
+        n_docs = 25_000
+        docs = spark.range(n_docs).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(" ", *[
+                F.concat(F.lit("w"),
+                         (F.conv(F.substring(F.md5(F.concat(
+                             F.col("id").cast("string"), F.lit(f"@{t}"))),
+                             1, 8), 16, 10) % 50).cast("int"))
+                for t in range(8)
+            ]).alias("text"),
+        )
+        docs = docs.persist()
+        docs.count()
+
+        # 3 planted needles that DO occur + 9,997 that cannot (digits 6-9
+        # never appear after the vocab-50 'w' prefix tokens... they do as
+        # token numbers; use chars absent from the corpus alphabet)
+        planted_rows = docs.filter("doc_id IN (7, 42, 24999)").collect()
+        needles = [(i, f"ZQX#{i}!") for i in range(9_997)]
+        needles += [(10_000 + j, r["text"][:20])
+                    for j, r in enumerate(planted_rows)]
+        assert len(needles) == 10_000
+
+        payload = sum(len(str(nid)) + len(ns.encode()) for nid, ns in needles)
+        thresh = int(spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+                     .removesuffix("b"))
+        assert payload < thresh, (payload, thresh)
+
+        from frizbee_spark.constants import MatchConfig
+
+        cfg = MatchConfig(max_typos=0)
+        out = fuzzy_join(docs, needles, config=cfg, per_needle_limit=3)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # ONE pass over the corpus: a single scan node, no joins
+        assert plan.count("InMemoryTableScan") + plan.count("Scan ") <= 2
+        assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+        t0 = time.time()
+        rows = out.collect()
+        wall_10k = time.time() - t0
+        # every planted needle found its source doc exactly
+        got = {r["needle_id"]: r for r in rows if r["needle_id"] >= 10_000}
+        assert len(got) == 3
+        for j, r0 in enumerate(planted_rows):
+            assert got[10_000 + j]["exact"] in (True, False)  # scored row
+            assert got[10_000 + j]["doc_id"] == r0["doc_id"]
+        # the non-matching bulk was pruned (no rows for unmatched needles)
+        assert all(r["needle_id"] >= 10_000 for r in rows)
+
+        t0 = time.time()
+        fuzzy_join(docs, needles[:2_500], config=cfg,
+                   per_needle_limit=3).count()
+        wall_25 = time.time() - t0
+        print(f"\nfuzzy_join envelope: 10k needles x {n_docs} docs in "
+              f"{wall_10k:.1f}s = {10_000 / wall_10k:.0f} needles/sec "
+              f"({10_000 * n_docs / wall_10k / 1e6:.1f}M needle-docs/sec); "
+              f"2.5k needles {wall_25:.1f}s")
+        assert wall_10k <= 10 * max(wall_25, 1.0), (wall_10k, wall_25)
+        docs.unpersist()
