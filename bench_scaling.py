@@ -151,6 +151,15 @@ def main() -> None:
     # guard STRICTER (floor is min(0.8, 0.95*ceiling)).
     cpu_ceiling = min(1.0, max(ceilings))
     bw_ceiling = min(1.0, max(bw_ceilings))
+    # Probe-credibility rule (round 5, after observing all five DRAM
+    # samples collapse to 0.002-0.012 while spin read ~1.0 beside them
+    # and the engine itself scaled 0.844 on real work): a genuine host
+    # memory-bandwidth cap under a healthy CPU grant is mild (0.71-0.85
+    # across every prior window); a copy-probe ratio far below the spin
+    # ceiling means the probe measured something else (e.g. page-fault
+    # service on host-reclaimed pages between the big JVM runs), so it
+    # must not be allowed to soften the guard floor below the target.
+    bw_credible = bw_ceiling >= 0.3 * cpu_ceiling
 
     result = {
         "metric": "scaling_efficiency_Nx4",
@@ -183,9 +192,15 @@ produced by the two runs are identical by construction — all stages use
 deterministic hashes and order-insensitive aggregations). Same-window
 hardware ceilings (pinned probes, no engine code) interleaved with the
 runs: pure-CPU spin {", ".join(f"{c:.3f}" for c in ceilings)}; DRAM
-bandwidth {", ".join(f"{c:.3f}" for c in bw_ceilings)} — this
-invocation's host grant capped perfect cache-resident code at
-~{cpu_ceiling:.2f} and perfect memory-bound code at ~{bw_ceiling:.2f}.
+bandwidth {", ".join(f"{c:.3f}" for c in bw_ceilings)} — {
+"this invocation's host grant capped perfect cache-resident code at "
+f"~{cpu_ceiling:.2f} and perfect memory-bound code at ~{bw_ceiling:.2f}."
+if bw_credible else
+"the DRAM copy probe was DISTURBED this window (all samples far below "
+"the ~" + f"{cpu_ceiling:.2f}" + " spin ceiling measured beside them — "
+"a genuine memory cap under a healthy CPU grant is mild, 0.71-0.85 in "
+"every prior window); per the harness's probe-credibility rule the "
+"guard floor stays at the unsoftened 0.8."}
 """
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md")
     existing = open(path).read() if os.path.exists(path) else "# BENCH\n\n"
@@ -204,12 +219,16 @@ invocation's host grant capped perfect cache-resident code at
     # host: the floor is the north-rule 0.8 target, softened to 95% of
     # the same-window DRAM ceiling when THIS window's host grant already
     # caps memory-bound code below 0.8/0.95 — the honest bound for
-    # DRAM-heavy stages on an overcommitted VM.
-    floor = min(0.8, 0.95 * bw_ceiling)
+    # DRAM-heavy stages on an overcommitted VM. A non-credible probe
+    # (see bw_credible above) must NOT soften the floor: a collapsed
+    # copy-probe sample would otherwise set floor~=0.01 and make the
+    # guard vacuous, the exact failure mode the rule exists to prevent.
+    floor = min(0.8, 0.95 * bw_ceiling) if bw_credible else 0.8
     if eff < floor:
         print(
             f"SCALING GUARD FAILED: efficiency {eff:.3f} < floor "
-            f"{floor:.3f} (= min(0.8, 0.95 * DRAM ceiling {bw_ceiling:.3f}))",
+            f"{floor:.3f} (bw_ceiling {bw_ceiling:.3f}, "
+            f"credible={bw_credible})",
             file=sys.stderr,
         )
         sys.exit(1)
