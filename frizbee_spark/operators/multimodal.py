@@ -6,11 +6,13 @@ resize / frame-sample run as vectorized Arrow UDFs via ``mapInPandas`` so
 each task streams record batches without materializing whole partitions.
 
 Decode coverage: BMP (BI_RGB 8/24/32bpp), WAV (PCM 8/16-bit), PPM/PGM
-(binary P6/P5), and PNG (8-bit gray/RGB/LA/RGBA, non-interlaced — stdlib
-zlib inflate + NumPy unfiltering of all 5 filter types) are decoded for
+(binary P6/P5), PNG (8-bit gray/RGB/LA/RGBA, non-interlaced — stdlib
+zlib inflate + NumPy unfiltering of all 5 filter types), and baseline
+JPEG (SOF0 JFIF: Huffman entropy decode, matrix IDCT, 4:4:4/4:2:0/4:2:2
+chroma upsample, restart markers — functions/jpeg.py) are decoded for
 REAL in pure NumPy (no PIL/ffmpeg needed). The remaining compressed
-codecs (JPEG/MP3/MP4, plus palette/16-bit/Adam7 PNG) need decode
-libraries absent from this container: those blobs raise
+codecs (MP3/MP4, progressive JPEG, palette/16-bit/Adam7 PNG) need
+decode libraries absent from this container: those blobs raise
 NotImplementedError unless ``allow_stub=True``, in which case a clearly
 marked deterministic fake (hash-derived dims/durations, decoder='stub')
 keeps the distributed plumbing exercisable.
@@ -263,6 +265,26 @@ def _decode_png(b: bytes):
     return ("image/png", w, h, ch, 0, 0.0, total / (h * stride))
 
 
+def _decode_jpeg_blob(b: bytes):
+    """Baseline JFIF via the pure-NumPy codec in functions/jpeg.py
+    (Huffman entropy decode + matrix IDCT + chroma upsample; 4:4:4 /
+    4:2:0 / 4:2:2, restart markers, 16-bit DQT). Progressive /
+    arithmetic / truncated blobs return None (out of scope) — same
+    convention as the other decoders. Returns (mime, w, h, ch, 0, 0.0,
+    mean_pixel_value)."""
+    if len(b) < 3 or b[:3] != b"\xff\xd8\xff":
+        return None
+    from ..functions.jpeg import decode_jpeg
+
+    try:
+        # 256 MB decoded cap like PNG — enforced at SOF parse, before
+        # any plane allocation (decode-bomb guard for untrusted blobs)
+        w, h, ch, pix = decode_jpeg(b, max_pixels=1 << 28)
+    except ValueError:
+        return None
+    return ("image/jpeg", w, h, ch, 0, 0.0, float(pix.mean()))
+
+
 def decode_media(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -272,17 +294,21 @@ def decode_media(
     """Decode media metadata + content stats from binary blobs.
 
     REAL pure-NumPy decode for BMP (BI_RGB 8/24/32bpp), WAV (PCM
-    8/16-bit), PPM/PGM (binary), and PNG (8-bit gray/RGB/LA/RGBA,
-    non-interlaced; stdlib zlib + all-5-filter NumPy unfiltering) —
+    8/16-bit), PPM/PGM (binary), PNG (8-bit gray/RGB/LA/RGBA,
+    non-interlaced; stdlib zlib + all-5-filter NumPy unfiltering), and
+    baseline JPEG (SOF0: Huffman + matrix IDCT + chroma upsample, PSNR
+    roundtrip-tested vs the fixture encoder in functions/jpeg.py) —
     emitting (media_type, width, height, n_channels, sample_rate,
     duration_s, mean_value, decoder='numpy'). Inapplicable fields are 0
     (images have no sample_rate/duration; audio has no dims) so the
     output is null-free. ``mean_value`` is the mean pixel byte (row
-    padding excluded for BMP) or mean PCM sample — a value any oracle
-    can verify on planted fixtures.
+    padding excluded for BMP), mean decoded pixel (PNG/JPEG), or mean
+    PCM sample — a value any oracle can verify on planted fixtures
+    (JPEG's lossy mean is encoder-defined, so its contract coverage is
+    the pytest roundtrip suite rather than a DuckDB oracle).
 
-    The remaining compressed codecs (JPEG/MP3/MP4, exotic PNGs) need
-    PIL/ffmpeg, absent in this container: such blobs raise
+    The remaining compressed codecs (MP3/MP4, progressive JPEG, exotic
+    PNGs) need PIL/ffmpeg, absent in this container: such blobs raise
     NotImplementedError (executor-side, so one bad blob names itself)
     unless ``allow_stub=True``, which emits the deterministic
     hash-derived fake marked decoder='stub'.
@@ -295,16 +321,17 @@ def decode_media(
             for d, raw in zip(pdf["doc_id"], pdf["_m"]):
                 b = bytes(raw) if raw is not None else b""
                 got = (_decode_bmp(b) or _decode_wav(b) or _decode_ppm(b)
-                       or _decode_png(b))
+                       or _decode_png(b) or _decode_jpeg_blob(b))
                 if got is not None:
                     rows.append((d, *got, "numpy"))
                     continue
                 if not allow_stub:
                     raise NotImplementedError(
-                        f"doc_id={d}: not a decodable BMP/WAV/PPM/PNG blob "
-                        "(PNG coverage: 8-bit gray/RGB/LA/RGBA, "
-                        "non-interlaced); JPEG/MP3/MP4 and exotic PNGs "
-                        "need PIL/ffmpeg (not in this container) — pass "
+                        f"doc_id={d}: not a decodable BMP/WAV/PPM/PNG/JPEG "
+                        "blob (PNG coverage: 8-bit gray/RGB/LA/RGBA "
+                        "non-interlaced; JPEG coverage: baseline SOF0); "
+                        "MP3/MP4, progressive JPEG, and exotic PNGs need "
+                        "PIL/ffmpeg (not in this container) — pass "
                         "allow_stub=True for the deterministic fake decoder"
                     )
                 # deterministic fake: dims/duration from hash bits (STUB)

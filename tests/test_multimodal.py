@@ -205,3 +205,43 @@ class TestMultimodal:
         offsets = sorted(r["frame_offset"] for r in by_doc[3])
         assert offsets == [0, 1000, 2000, 3000]
         assert all(len(r["frame"]) <= 64 for r in got)
+
+    def test_decode_jpeg_through_operator(self, spark):
+        """Real baseline-JPEG blobs (both chroma samplings) decode
+        through the Spark operator: exact dims/channels, decoder='numpy',
+        mean within lossy tolerance of the source image (round 5)."""
+        import numpy as np
+        from frizbee_spark.functions.jpeg import encode_jpeg
+
+        yy, xx = np.mgrid[0:45, 0:61]
+        img = np.stack([(xx * 4) % 256, (yy * 4) % 256,
+                        ((xx + yy) * 2) % 256], axis=-1).astype(np.uint8)
+        rows = [(1, encode_jpeg(img, quality=95)),
+                (2, encode_jpeg(img, quality=95, subsample=True)),
+                (3, encode_jpeg(img[..., 0], quality=95))]  # grayscale
+        df = spark.createDataFrame(rows, "doc_id long, media binary")
+        got = {r["doc_id"]: r for r in decode_media(df).collect()}
+        for d in (1, 2, 3):
+            r = got[d]
+            assert r["decoder"] == "numpy"
+            assert r["media_type"] == "image/jpeg"
+            assert (r["width"], r["height"]) == (61, 45)
+            assert r["n_channels"] == (1 if d == 3 else 3)
+            src_mean = float(img[..., 0].mean() if d == 3 else img.mean())
+            assert abs(r["mean_value"] - src_mean) < 3.0
+
+    def test_decode_progressive_jpeg_stays_stubbed(self, spark):
+        """A progressive (SOF2) JPEG is out of decoder scope: it must
+        fall through to the stub path, not crash or mis-decode."""
+        import numpy as np
+        from frizbee_spark.functions.jpeg import encode_jpeg
+
+        blob = bytearray(encode_jpeg(
+            np.full((16, 16), 128, dtype=np.uint8)))
+        blob[blob.index(b"\xff\xc0") + 1] = 0xC2
+        df = spark.createDataFrame(
+            [(1, bytes(blob))], "doc_id long, media binary")
+        with pytest.raises(Exception, match="allow_stub"):
+            decode_media(df).collect()
+        row = decode_media(df, allow_stub=True).collect()[0]
+        assert row["decoder"] == "stub"
