@@ -653,6 +653,20 @@ def q_simhash_pairs(spark, sf_dir):
     return simhash_pairs(sigs, cfg).orderBy("a", "b")
 
 
+def q_candidate_tiers(spark, sf_dir):
+    """Per candidate pair, the highest-priority tier that accepts it
+    (exact > main LSH bands > tier-2 short-doc bands > SimHash) — the
+    tiered-dedup tuning view. Oracle: sql_oracles.tier_attribution_sql,
+    the same single-pass bucket-union + payload pair generation in pure
+    SQL."""
+    from frizbee_spark.operators.dedup import (
+        candidate_tier_attribution, compute_signatures)
+
+    cfg = _dedup_cfg()
+    sigs = compute_signatures(_norm_docs(spark, sf_dir), cfg)
+    return candidate_tier_attribution(sigs, cfg).orderBy("a", "b")
+
+
 # ---------------------------------------------------------------------------
 # queries — non-SQL-expressible (rows-only check)
 # ---------------------------------------------------------------------------
@@ -784,6 +798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "greedy_match": q_greedy_match,
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
         "simhash_pairs": q_simhash_pairs,
+        "candidate_tiers": q_candidate_tiers,
         "sw_verified_pairs": q_sw_verified_pairs,
         "dedup_clusters": q_dedup_clusters,
         "winnow_span_pairs": q_winnow_span_pairs,
@@ -1421,6 +1436,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_lsh_candidates": _sql_oracles().minhash_lsh_sql(_dedup_cfg()),
         "simhash_pairs": _sql_oracles().simhash_pairs_sql(_dedup_cfg()),
+        "candidate_tiers": _sql_oracles().tier_attribution_sql(_dedup_cfg()),
         "winnow_span_pairs": _sql_oracles().winnow_span_sql(_dedup_cfg()),
         "span_extents": _sql_oracles().span_extents_sql(_dedup_cfg()),
         "sw_verified_pairs": _sql_oracles().sw_verified_pairs_sql(_dedup_cfg()),

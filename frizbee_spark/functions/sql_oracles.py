@@ -809,6 +809,60 @@ WHERE bit_count(xor(sa.sim, sb.sim)) <= {cfg.hamming_max}
 ORDER BY p.a, p.b""")
 
 
+def tier_attribution_sql(cfg: DedupConfig = DEFAULT_DEDUP) -> str:
+    """Full-pipeline SQL oracle for ``candidate_tier_attribution(
+    compute_signatures(normalize_text(documents)))`` — output columns
+    (a, b, tier).
+
+    All four bucket families (exact text, main LSH bands, tier-2
+    short-doc bands, SimHash block-combination chunks) union into one
+    bucket table with the family code riding :func:`_pairs_cte`'s
+    payload — the same single-pass shape as the Spark operator — then
+    one group-by applies the tier-2 multiplicity rule, the SimHash
+    Hamming gate, and the priority-min tier label. The exact family
+    buckets on ``hash(nt)`` where the Spark side buckets on
+    ``xxhash64(norm_text)``+``n_bytes`` — different hash, same
+    partition of the corpus (collisions aside, as everywhere here)."""
+    fams = [
+        "SELECT 0 AS fam, hash(nt)::HUGEINT AS kx, 0::HUGEINT AS ky,"
+        " doc_id, 0 AS fl FROM nd",
+        "SELECT 1, band_id::HUGEINT, band_key::HUGEINT, doc_id, 1 FROM bkey",
+        "SELECT 3, chunk_id::HUGEINT, chunk::HUGEINT, doc_id, 3 FROM chunks",
+    ]
+    tier2 = ""
+    if cfg.short_doc_max_bytes > 0:
+        tier2 = f" {_short_band_cte(cfg)},"
+        fams.insert(
+            2,
+            "SELECT 2, band_id::HUGEINT, band_key::HUGEINT, doc_id, 2"
+            " FROM skey",
+        )
+    union = "\n    UNION ALL ".join(fams)
+    return _materialize(
+        f"WITH {_shingle_cte(cfg)}, {_oph_band_cte(cfg)},{tier2}\n"
+        f"{simhash_cte(cfg)},\n{simhash_chunks_cte(cfg)},\n"
+        f"tb AS (\n    {union}\n),"
+        f"{_pairs_cte('tb', 'fam, kx, ky', cfg, payload='fl')},\n"
+        f"""tagg AS (
+    SELECT a, b, min(pa) AS best,
+           count(*) FILTER (WHERE pa = 2) AS n2,
+           max(CASE WHEN pa = 3 THEN 1 ELSE 0 END) AS has3
+    FROM allp GROUP BY 1, 2
+)
+SELECT t.a, t.b,
+       CASE WHEN t.best = 0 THEN 'exact'
+            WHEN t.best = 1 THEN 'minhash_lsh'
+            WHEN t.n2 >= {cfg.short_min_bands} THEN 'minhash_lsh_short'
+            ELSE 'simhash' END AS tier
+FROM tagg t
+JOIN simh sa ON sa.doc_id = t.a
+JOIN simh sb ON sb.doc_id = t.b
+WHERE t.best <= 1 OR t.n2 >= {cfg.short_min_bands}
+   OR (t.has3 = 1 AND bit_count(xor(sa.sim, sb.sim)) <= {cfg.hamming_max})
+ORDER BY t.a, t.b"""
+    )
+
+
 def fuzzy_match_sql(
     needle: str,
     limit: int = 100,

@@ -697,6 +697,108 @@ def unified_candidate_pairs(
     return kept
 
 
+#: priority-ordered tier codes for :func:`candidate_tier_attribution` —
+#: lower code = cheaper/stronger evidence, wins the per-pair attribution
+TIER_LABELS = ("exact", "minhash_lsh", "minhash_lsh_short", "simhash")
+
+
+def candidate_tier_attribution(
+    signatures: DataFrame, cfg: DedupConfig = DEFAULT_DEDUP,
+) -> DataFrame:
+    """Per candidate pair, the highest-priority tier that ACCEPTS it:
+    ``exact`` (same normalized text) > ``minhash_lsh`` (main 32x4 band
+    collision) > ``minhash_lsh_short`` (tier-2 short-doc bands, subject
+    to the >= ``short_min_bands`` multiplicity rule) > ``simhash``
+    (block-combination chunk collision within Hamming <=
+    ``hamming_max``). The attribution answers the tiered-dedup tuning
+    questions — "which tier is earning its keep?", "what would recall
+    lose if tier X were disabled?" — directly from the signature table,
+    without touching text.
+
+    A pair appears iff at least one tier accepts it, so the output's
+    pair SET is exactly ``exact_hash_pairs UNION lsh_band_pairs UNION
+    simhash_pairs`` (the unified pipeline's pre-gate candidate set,
+    minus the degree cap, which is a budget device rather than a tier).
+
+    Plan shape (same scale story as :func:`unified_candidate_pairs`):
+    all four bucket families union under one 64-bit key with the tier
+    code riding the single pairing shuffle as the kernel payload; the
+    closing groupBy applies the tier-2 multiplicity rule and the
+    priority min at once, and one join against the 24-byte/doc simhash
+    projection applies the Hamming gate. Text never shuffles.
+
+    Output: (a, b, tier) with a < b, tier in :data:`TIER_LABELS`.
+    """
+    tagged = [
+        signatures.select(
+            F.xxhash64(F.lit("exact"), "text_hash", "n_bytes").alias("bkey"),
+            "doc_id", F.lit(0).alias("fl"),
+        ),
+        signatures.select(
+            F.posexplode("band_keys").alias("band_id", "band_key"), "doc_id"
+        ).select(
+            F.xxhash64(F.lit("lsh"), "band_id", "band_key").alias("bkey"),
+            "doc_id", F.lit(1).alias("fl"),
+        ),
+        signatures.select(
+            "doc_id",
+            F.explode(
+                F.array(*[
+                    F.xxhash64(
+                        F.lit("simhash"), F.lit(t),
+                        _simhash_key_col(F.col("simhash"), blocks),
+                    )
+                    for t, blocks in enumerate(simhash_table_layout(cfg.hamming_max))
+                ])
+            ).alias("bkey"),
+        ).select("bkey", "doc_id", F.lit(3).alias("fl")),
+    ]
+    if cfg.short_doc_max_bytes > 0:
+        tagged.append(
+            signatures.select(
+                F.posexplode("short_band_keys").alias("_p", "band_key"), "doc_id"
+            ).select(
+                F.xxhash64(F.lit("lsh2"), F.col("_p") + cfg.bands,
+                           "band_key").alias("bkey"),
+                "doc_id", F.lit(2).alias("fl"),
+            )
+        )
+    buckets = tagged[0]
+    for t in tagged[1:]:
+        buckets = buckets.unionByName(t)
+    agg = (
+        pairs_from_buckets(buckets, ["bkey"], cfg,
+                           keep_multiplicity=True, payload="fl")
+        # the bucket key embeds the tier, so payload_a == payload_b on
+        # every emitted row; one row per (bucket, pair) means the
+        # tier-2 count below is the distinct-band collision count
+        .groupBy("a", "b")
+        .agg(
+            F.min("payload_a").alias("_best"),
+            F.sum((F.col("payload_a") == 2).cast("long")).alias("_n2"),
+            F.max((F.col("payload_a") == 3).cast("int")).alias("_has3"),
+        )
+    )
+    sim = signatures.select("doc_id", "simhash")
+    j = (
+        agg.join(sim.withColumnsRenamed({"doc_id": "a", "simhash": "_sa"}), "a")
+        .join(sim.withColumnsRenamed({"doc_id": "b", "simhash": "_sb"}), "b")
+    )
+    ham = F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb")))
+    accepted = (
+        (F.col("_best") <= 1)
+        | (F.col("_n2") >= cfg.short_min_bands)
+        | ((F.col("_has3") == 1) & (ham <= cfg.hamming_max))
+    )
+    tier = (
+        F.when(F.col("_best") == 0, TIER_LABELS[0])
+        .when(F.col("_best") == 1, TIER_LABELS[1])
+        .when(F.col("_n2") >= cfg.short_min_bands, TIER_LABELS[2])
+        .otherwise(TIER_LABELS[3])
+    )
+    return j.filter(accepted).select("a", "b", tier.alias("tier"))
+
+
 def simhash_table_layout(hamming_max: int) -> list[tuple[tuple[int, int], ...]]:
     """Block-combination SimHash table layout (Manku, Jain & Das Sarma,
     WWW'07 "Detecting near-duplicates for web crawling" — public

@@ -723,3 +723,71 @@ class TestShortDocTier:
                   "short_band_keys array<long>")
         got = {(r["a"], r["b"]) for r in lsh_band_pairs(sigs).collect()}
         assert got == {(3, 4), (5, 6)}
+
+
+@pytest.mark.spark
+class TestTierAttribution:
+    """candidate_tier_attribution: pair set == union of the per-tier
+    operators, and the label respects the documented priority."""
+
+    @pytest.fixture(scope="class")
+    def attributed(self, spark):
+        import hashlib
+
+        from frizbee_spark.operators.dedup import (
+            DEFAULT_DEDUP, candidate_tier_attribution, compute_signatures,
+            exact_hash_pairs, lsh_band_pairs, simhash_pairs,
+        )
+
+        base = "the quick brown fox jumps over the lazy dog " * 12  # ~540 B
+        near = base.replace("lazy", "hazy", 1)
+        short = " ".join(f"tok{i:02d}" for i in range(30))          # ~180 B
+        short_near = short.replace("tok07", "tokxx", 1)
+        rows = [(0, base), (1, base), (2, near),
+                (3, short), (4, short_near)]
+        rows += [
+            (10 + i, " ".join(
+                hashlib.md5(f"{i}#{t}".encode()).hexdigest()
+                for t in range(6)))
+            for i in range(120)                                     # unique
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, norm_text string")
+        cfg = DEFAULT_DEDUP
+        sigs = compute_signatures(docs, cfg).cache()
+        att = {(r["a"], r["b"]): r["tier"]
+               for r in candidate_tier_attribution(sigs, cfg).collect()}
+        per_tier = {
+            "exact": {(r["a"], r["b"])
+                      for r in exact_hash_pairs(sigs, cfg).collect()},
+            "lsh": {(r["a"], r["b"])
+                    for r in lsh_band_pairs(sigs, cfg).collect()},
+            "simhash": {(r["a"], r["b"])
+                        for r in simhash_pairs(sigs, cfg).collect()},
+        }
+        sigs.unpersist()
+        return att, per_tier
+
+    def test_pair_set_is_union_of_tier_operators(self, attributed):
+        att, per = attributed
+        union = per["exact"] | per["lsh"] | per["simhash"]
+        assert set(att) == union
+
+    def test_engineered_pairs_present(self, attributed):
+        att, _ = attributed
+        assert att[(0, 1)] == "exact"            # identical docs
+        assert (0, 2) in att and (1, 2) in att   # one-word near dups
+        assert att[(0, 2)] != "exact"
+
+    def test_labels_respect_priority(self, attributed):
+        att, per = attributed
+        for pair, tier in att.items():
+            if tier == "exact":
+                assert pair in per["exact"]
+            elif tier == "minhash_lsh":
+                assert pair in per["lsh"] and pair not in per["exact"]
+            elif tier == "minhash_lsh_short":
+                assert pair in per["lsh"] and pair not in per["exact"]
+            else:
+                assert tier == "simhash"
+                assert pair in per["simhash"]
+                assert pair not in per["exact"] and pair not in per["lsh"]
