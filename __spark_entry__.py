@@ -653,6 +653,17 @@ def q_simhash_pairs(spark, sf_dir):
     return simhash_pairs(sigs, cfg).orderBy("a", "b")
 
 
+def q_curation_rollup(spark, sf_dir):
+    """Per-(source, lang) curation report: doc counts, global exact-dup
+    doc counts, corpus_filter keep/drop-reason counts, char/token
+    volume — every column a count or integer sum, so the oracle compare
+    is exact. Oracle: the corpus_filter SQL nested as a CTE plus a
+    window-counted md5 dup flag."""
+    from frizbee_spark.operators.textstats import curation_rollup
+
+    return curation_rollup(_docs(spark, sf_dir)).orderBy("source", "lang")
+
+
 def q_candidate_tiers(spark, sf_dir):
     """Per candidate pair, the highest-priority tier that accepts it
     (exact > main LSH bands > tier-2 short-doc bands > SimHash) — the
@@ -799,6 +810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
         "simhash_pairs": q_simhash_pairs,
         "candidate_tiers": q_candidate_tiers,
+        "curation_rollup": q_curation_rollup,
         "sw_verified_pairs": q_sw_verified_pairs,
         "dedup_clusters": q_dedup_clusters,
         "winnow_span_pairs": q_winnow_span_pairs,
@@ -917,7 +929,7 @@ def oracle_sql() -> dict[str, str]:
     en = ", ".join(f"'{w}'" for w in ("the", "and", "of", "with", "for"))
     de = ", ".join(f"'{w}'" for w in ("der", "die", "das", "und", "mit"))
     fr = ", ".join(f"'{w}'" for w in ("le", "la", "les", "et", "avec"))
-    return {
+    d = {
         "exact_dup_groups": """
             SELECT md5(text) AS text_md5,
                    count(*) AS dup_count,
@@ -1460,3 +1472,32 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 100
         """,
     }
+    # slice rollup wraps the corpus_filter oracle as a nested CTE so the
+    # gate semantics can never drift between the two oracles
+    d["curation_rollup"] = f"""
+        WITH filt AS ({d["corpus_filter"]}),
+        dup AS (
+            SELECT doc_id,
+                   count(*) OVER (PARTITION BY md5(text)) > 1 AS isdup,
+                   source, lang
+            FROM documents
+        )
+        SELECT dup.source, dup.lang,
+               count(*) AS n_docs,
+               sum(CASE WHEN dup.isdup THEN 1 ELSE 0 END)::BIGINT
+                   AS n_exact_dup_docs,
+               sum(CASE WHEN f.keep THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+               sum(CASE WHEN f.reason = 'too_short' THEN 1 ELSE 0 END)::BIGINT
+                   AS n_too_short,
+               sum(CASE WHEN f.reason = 'repetitive_grams' THEN 1 ELSE 0 END)::BIGINT
+                   AS n_repetitive_grams,
+               sum(CASE WHEN f.reason = 'repetitive_unigram' THEN 1 ELSE 0 END)::BIGINT
+                   AS n_repetitive_unigram,
+               sum(CASE WHEN f.reason = 'no_lang_signal' THEN 1 ELSE 0 END)::BIGINT
+                   AS n_no_lang_signal,
+               sum(f.n_chars)::BIGINT AS sum_chars,
+               sum(f.n_tokens)::BIGINT AS sum_tokens
+        FROM dup JOIN filt f USING (doc_id)
+        GROUP BY 1, 2
+    """
+    return d

@@ -477,6 +477,66 @@ def corpus_filter(
     )
 
 
+def curation_rollup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    lang_col: str = "lang",
+    **filter_kwargs,
+) -> DataFrame:
+    """Per-(source, lang) curation dashboard: the slice-level report a
+    training-data pipeline publishes after the filter gate — how many
+    docs each slice contributes, how many are byte-exact duplicates of
+    ANOTHER doc anywhere in the corpus (cross-slice: the dedup planner
+    needs global dup mass, not within-slice), how many the
+    :func:`corpus_filter` gate keeps, the per-reason drop counts (the
+    gate's precedence order makes these unambiguous), and the total
+    char/token volume. Everything is a count or an integer sum —
+    deterministic across engines by construction.
+
+    Plan shape at 100 TB: one text scan computes md5 + the filter
+    signals; after that only (doc_id, md5, 16-byte stats) shuffle —
+    text never leaves the scan stage. The md5 groupBy is the exact-dedup
+    shuffle the pipeline runs anyway; the final rollup groups a
+    low-cardinality (source, lang) key with map-side partial
+    aggregation, so the last exchange carries ~|sources x langs| rows.
+    """
+    filt = corpus_filter(df, id_col, text_col, **filter_kwargs)
+    hashed = df.select(
+        F.md5(F.col(text_col)).alias("_md5"), F.col(id_col).alias("doc_id")
+    )
+    dupc = hashed.groupBy("_md5").agg(F.count("*").alias("_dc"))
+    isdup = hashed.join(dupc, "_md5").select(
+        "doc_id", (F.col("_dc") > 1).cast("long").alias("_isdup")
+    )
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(source_col).alias("source"),
+        F.col(lang_col).alias("lang"),
+    )
+    j = (
+        base.join(filt.select("doc_id", "n_chars", "n_tokens",
+                              "keep", "reason"), "doc_id")
+        .join(isdup, "doc_id")
+    )
+
+    def n_reason(r):
+        return F.sum((F.col("reason") == r).cast("long")).alias(f"n_{r}")
+
+    return j.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("_isdup").alias("n_exact_dup_docs"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        n_reason("too_short"),
+        n_reason("repetitive_grams"),
+        n_reason("repetitive_unigram"),
+        n_reason("no_lang_signal"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum("n_tokens").alias("sum_tokens"),
+    )
+
+
 def hash_split(
     df: DataFrame,
     key_col: str,

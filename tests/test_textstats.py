@@ -480,3 +480,46 @@ class TestShingleContainment:
             for c in (r["contain_a_in_b"], r["contain_b_in_a"]):
                 assert 0.0 <= c <= 1.0
             assert max(r["contain_a_in_b"], r["contain_b_in_a"]) >= 0.8
+
+
+class TestCurationRollup:
+    def test_engineered_slices(self, spark):
+        from frizbee_spark.operators.textstats import curation_rollup
+
+        ok = " ".join(["the", "and", "of"] + [f"w{i}" for i in range(20)])
+        ok2 = " ".join(["the", "and", "of"] + [f"v{i}" for i in range(20)])
+        rows = [
+            # srcA/en: 3 docs, one exact-dup pair (cross-checks dup count
+            # includes BOTH members), all keep
+            (1, ok, "en", "srcA"),
+            (2, ok, "en", "srcA"),
+            (3, ok2, "en", "srcA"),
+            # srcB/en: 1 doc, exact dup of a srcA doc -> dup flag must be
+            # GLOBAL (cross-slice), not within-slice
+            (4, ok, "en", "srcB"),
+            # srcB/de: 1 doc, too short
+            (5, "the and of", "de", "srcB"),
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string")
+        got = {(r["source"], r["lang"]): r.asDict()
+               for r in curation_rollup(df).collect()}
+        a = got[("srcA", "en")]
+        assert a["n_docs"] == 3 and a["n_exact_dup_docs"] == 2
+        assert a["n_kept"] == 3 and a["n_too_short"] == 0
+        b = got[("srcB", "en")]
+        assert b["n_docs"] == 1 and b["n_exact_dup_docs"] == 1  # global dup
+        c = got[("srcB", "de")]
+        assert c["n_kept"] == 0 and c["n_too_short"] == 1
+
+    def test_counts_partition_docs(self, spark):
+        from frizbee_spark.operators.textstats import curation_rollup
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        rolled = curation_rollup(docs).collect()
+        assert sum(r["n_docs"] for r in rolled) == docs.count()
+        for r in rolled:
+            dropped = (r["n_too_short"] + r["n_repetitive_grams"]
+                       + r["n_repetitive_unigram"] + r["n_no_lang_signal"])
+            assert r["n_kept"] + dropped == r["n_docs"]
+            assert r["sum_chars"] > 0 and r["sum_tokens"] > 0
