@@ -590,14 +590,15 @@ def q_media_stats(spark, sf_dir):
 
 
 def q_media_decode(spark, sf_dir):
-    """REAL media decode (r4; PNG added r5): deterministic
-    BMP/WAV/PPM/PNG blobs are synthesized per doc_id
+    """REAL media decode (r4; PNG + GIF added r5): deterministic
+    BMP/WAV/PPM/PNG/GIF blobs are synthesized per doc_id
     (multimodal.synth_media_blob — pure function of the id), then
     decode_media parses the actual bytes back in pure NumPy (stdlib zlib
-    inflate + all-5-filter unfiltering for PNG). The oracle recomputes
-    the planted dims / duration / fill from doc_id arithmetic, so a
-    mis-parsed header field, botched BMP row padding, wrong PCM sample
-    width, or broken PNG unfilter hash-mismatches. mean_value is NOT
+    inflate + all-5-filter unfiltering for PNG; variable-width LZW +
+    interlace reorder for GIF). The oracle recomputes the planted dims /
+    duration / fill from doc_id arithmetic, so a mis-parsed header
+    field, botched BMP row padding, wrong PCM sample width, broken PNG
+    unfilter, or desynced LZW code width hash-mismatches. mean_value is NOT
     rounded: BMP/WAV/PPM plant integers and the PNG mean is one exact
     integer-sum / n division that both engines evaluate to the
     bit-identical double — rounding would instead hit the documented
@@ -1380,13 +1381,19 @@ def oracle_sql() -> dict[str, str]:
             -- PNG (doc_id % 4 = 3): pixel j = (doc_id + j) % 251; the
             -- mean is the exact integer sum / n division (bit-identical
             -- double on both engines; NOT rounded — see q_media_decode).
+            -- GIF (doc_id % 8 = 6): grayscale palette, index j =
+            -- (doc_id + j) % 253 -> the channel mean equals the index
+            -- mean, again one exact integer-sum division.
             WITH base AS (
                 SELECT doc_id,
+                       (doc_id % 8 = 6) AS is_gif,
                        (doc_id % 4 = 3) AS is_png,
                        4 + doc_id % 21 AS pw,
                        2 + doc_id % 13 AS ph,
                        (CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3
-                                        ELSE 4 END)::BIGINT AS pch
+                                        ELSE 4 END)::BIGINT AS pch,
+                       3 + doc_id % 19 AS gw,
+                       2 + doc_id % 7 AS gh
                 FROM documents
             ),
             png AS (
@@ -1398,39 +1405,56 @@ def oracle_sql() -> dict[str, str]:
                          AS t(j)
                 WHERE b.is_png
                 GROUP BY b.doc_id, b.pw, b.ph, b.pch
+            ),
+            gif AS (
+                SELECT b.doc_id,
+                       sum((b.doc_id + t.j) % 253)::DOUBLE
+                           / (b.gw * b.gh) AS gif_mean
+                FROM base b,
+                     unnest(generate_series(0, b.gw * b.gh - 1)) AS t(j)
+                WHERE b.is_gif
+                GROUP BY b.doc_id, b.gw, b.gh
             )
             SELECT b.doc_id,
-                   CASE WHEN b.is_png THEN 'image/png'
+                   CASE WHEN b.is_gif THEN 'image/gif'
+                        WHEN b.is_png THEN 'image/png'
                         ELSE CASE b.doc_id % 3 WHEN 0 THEN 'image/bmp'
                                                WHEN 1 THEN 'audio/wav'
                                                ELSE 'image/ppm' END
                    END AS media_type,
-                   CASE WHEN b.is_png THEN b.pw
+                   CASE WHEN b.is_gif THEN b.gw
+                        WHEN b.is_png THEN b.pw
                         ELSE CASE b.doc_id % 3 WHEN 0 THEN 4 + b.doc_id % 29
                                                WHEN 1 THEN 0
                                                ELSE 5 + b.doc_id % 23 END
                    END AS width,
-                   CASE WHEN b.is_png THEN b.ph
+                   CASE WHEN b.is_gif THEN b.gh
+                        WHEN b.is_png THEN b.ph
                         ELSE CASE b.doc_id % 3 WHEN 0 THEN 3 + b.doc_id % 17
                                                WHEN 1 THEN 0
                                                ELSE 2 + b.doc_id % 11 END
                    END AS height,
-                   CASE WHEN b.is_png THEN b.pch
+                   CASE WHEN b.is_gif THEN 3::BIGINT
+                        WHEN b.is_png THEN b.pch
                         ELSE (CASE b.doc_id % 3 WHEN 1 THEN 1 + b.doc_id % 2
                                                 ELSE 3 END)::BIGINT
                    END AS n_channels,
-                   (CASE WHEN NOT b.is_png AND b.doc_id % 3 = 1 THEN 8000
+                   (CASE WHEN NOT b.is_gif AND NOT b.is_png
+                              AND b.doc_id % 3 = 1 THEN 8000
                          ELSE 0 END)::BIGINT AS sample_rate,
-                   CASE WHEN NOT b.is_png AND b.doc_id % 3 = 1
+                   CASE WHEN NOT b.is_gif AND NOT b.is_png
+                             AND b.doc_id % 3 = 1
                         THEN round((400 + (b.doc_id % 37) * 16) / 8000.0, 4)
                         ELSE 0.0 END AS duration_s,
-                   CASE WHEN b.is_png THEN p.png_mean
+                   CASE WHEN b.is_gif THEN g.gif_mean
+                        WHEN b.is_png THEN p.png_mean
                         ELSE CASE b.doc_id % 3
                                   WHEN 0 THEN (b.doc_id % 251)::DOUBLE
                                   WHEN 1 THEN (b.doc_id % 1000 - 500)::DOUBLE
                                   ELSE (b.doc_id % 256)::DOUBLE END
                    END AS mean_value
             FROM base b LEFT JOIN png p ON p.doc_id = b.doc_id
+                        LEFT JOIN gif g ON g.doc_id = b.doc_id
             ORDER BY b.doc_id
         """,
         "span_exact_pairs": f"""

@@ -5,7 +5,9 @@ Pattern for 100 TB multimodal curation: media lives as `binary` columns
 resize / frame-sample run as vectorized Arrow UDFs via ``mapInPandas`` so
 each task streams record batches without materializing whole partitions.
 
-Decode coverage: BMP (BI_RGB 8/24/32bpp), WAV (PCM 8/16-bit), PPM/PGM
+Decode coverage: BMP (BI_RGB 8/24/32bpp), WAV (PCM 8/16-bit),
+GIF87a/89a (variable-width LZW, global/local palettes, interlace,
+first frame), PPM/PGM
 (binary P6/P5), PNG (8-bit gray/RGB/LA/RGBA, non-interlaced — stdlib
 zlib inflate + NumPy unfiltering of all 5 filter types), and baseline
 JPEG (SOF0 JFIF: Huffman entropy decode, matrix IDCT, 4:4:4/4:2:0/4:2:2
@@ -265,6 +267,138 @@ def _decode_png(b: bytes):
     return ("image/png", w, h, ch, 0, 0.0, total / (h * stride))
 
 
+def _gif_lzw_decode(data: bytes, min_code: int, expected: int):
+    """GIF-variant LZW (LSB-first bit packing, clear/EOI codes, 12-bit
+    cap, deferred-clear tolerant). Returns exactly ``expected`` index
+    bytes or None on a malformed stream."""
+    clear = 1 << min_code
+    eoi = clear + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    width = min_code + 1
+    out = bytearray()
+    acc = nbits = 0
+    prev = None
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table = list(base)
+                width = min_code + 1
+                prev = None
+                continue
+            if code == eoi:
+                return bytes(out[:expected]) if len(out) >= expected else None
+            if prev is None:
+                if code >= len(table):
+                    return None
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                if len(table) < 4096:
+                    table.append(prev + entry[:1])
+            elif code == len(table) and len(table) < 4096:
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                return None
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+            out += entry
+            prev = entry
+            if len(out) >= expected:
+                return bytes(out[:expected])
+    return None
+
+
+#: interlace passes per the GIF89a spec appendix E: (first row, step)
+_GIF_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _decode_gif_pixels(b: bytes):
+    """First frame of a GIF87a/89a: header + logical screen descriptor,
+    global/local color table, extension skip, LZW decode, interlace
+    row reorder. Returns (w, h, idx[h, w] uint8, palette[n, 3] uint8)
+    or None. Animation is out of scope by design — frame 1 only (the
+    curation signal; later frames are deltas needing composition)."""
+    if len(b) < 13 or b[:4] != b"GIF8" or b[4:6] not in (b"7a", b"9a"):
+        return None
+    sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", b, 6)
+    pos = 13
+    palette = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        if pos + 3 * n > len(b):
+            return None
+        palette = np.frombuffer(b, np.uint8, 3 * n, pos).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(b):
+        blk = b[pos]
+        pos += 1
+        if blk == 0x3B:  # trailer before any image
+            return None
+        if blk == 0x21:  # extension: label + sub-blocks until 0
+            pos += 1
+            while pos < len(b) and b[pos] != 0:
+                pos += 1 + b[pos]
+            pos += 1
+            continue
+        if blk != 0x2C:
+            return None
+        if pos + 9 > len(b):
+            return None
+        _lf, _tp, w, h, ipk = struct.unpack_from("<HHHHB", b, pos)
+        pos += 9
+        if ipk & 0x80:  # local color table overrides
+            n = 2 << (ipk & 0x07)
+            if pos + 3 * n > len(b):
+                return None
+            palette = np.frombuffer(b, np.uint8, 3 * n, pos).reshape(n, 3)
+            pos += 3 * n
+        if palette is None or w <= 0 or h <= 0 or w * h > 1 << 28:
+            return None
+        if pos >= len(b):
+            return None
+        min_code = b[pos]
+        pos += 1
+        if not 2 <= min_code <= 11:
+            return None
+        chunks = []
+        while pos < len(b) and b[pos] != 0:
+            ln = b[pos]
+            chunks.append(b[pos + 1:pos + 1 + ln])
+            pos += 1 + ln
+        idx = _gif_lzw_decode(b"".join(chunks), min_code, w * h)
+        if idx is None:
+            return None
+        grid = np.frombuffer(idx, np.uint8).reshape(h, w)
+        if grid.max() >= len(palette):
+            return None
+        if ipk & 0x40:  # interlaced: stream row i -> display row order[i]
+            order = [r for s, st in _GIF_PASSES for r in range(s, h, st)]
+            disp = np.empty_like(grid)
+            disp[order] = grid
+            grid = disp
+        return (w, h, grid, palette)
+    return None
+
+
+def _decode_gif(b: bytes):
+    """GIF first frame via :func:`_decode_gif_pixels`; mean_value is the
+    mean palette-mapped channel byte (matching the PNG/BMP convention).
+    Same tuple shape as the other decoders."""
+    got = _decode_gif_pixels(b)
+    if got is None:
+        return None
+    w, h, grid, palette = got
+    total = int(palette[grid].astype(np.int64).sum())
+    return ("image/gif", w, h, 3, 0, 0.0, total / (w * h * 3))
+
+
 def _decode_jpeg_blob(b: bytes):
     """Baseline JFIF via the pure-NumPy codec in functions/jpeg.py
     (Huffman entropy decode + matrix IDCT + chroma upsample; 4:4:4 /
@@ -321,18 +455,20 @@ def decode_media(
             for d, raw in zip(pdf["doc_id"], pdf["_m"]):
                 b = bytes(raw) if raw is not None else b""
                 got = (_decode_bmp(b) or _decode_wav(b) or _decode_ppm(b)
-                       or _decode_png(b) or _decode_jpeg_blob(b))
+                       or _decode_png(b) or _decode_gif(b)
+                       or _decode_jpeg_blob(b))
                 if got is not None:
                     rows.append((d, *got, "numpy"))
                     continue
                 if not allow_stub:
                     raise NotImplementedError(
-                        f"doc_id={d}: not a decodable BMP/WAV/PPM/PNG/JPEG "
-                        "blob (PNG coverage: 8-bit gray/RGB/LA/RGBA "
-                        "non-interlaced; JPEG coverage: baseline SOF0); "
-                        "MP3/MP4, progressive JPEG, and exotic PNGs need "
-                        "PIL/ffmpeg (not in this container) — pass "
-                        "allow_stub=True for the deterministic fake decoder"
+                        f"doc_id={d}: not a decodable BMP/WAV/PPM/PNG/GIF/"
+                        "JPEG blob (PNG coverage: 8-bit gray/RGB/LA/RGBA "
+                        "non-interlaced; GIF: first frame; JPEG coverage: "
+                        "baseline SOF0); MP3/MP4, progressive JPEG, and "
+                        "exotic PNGs need PIL/ffmpeg (not in this "
+                        "container) — pass allow_stub=True for the "
+                        "deterministic fake decoder"
                     )
                 # deterministic fake: dims/duration from hash bits (STUB)
                 h = int(hash64_bytes(b))
@@ -421,9 +557,98 @@ def _png_encode(doc_id: int) -> bytes:
             + chunk(b"IEND", b""))
 
 
+def _gif_lzw_encode(indices: bytes, min_code: int = 8) -> bytes:
+    """Greedy dictionary LZW encoder (GIF variant: LSB-first packing,
+    leading clear code, clear-on-full at 4096). Independent of the
+    decoder — the roundtrip tests cross every code-width boundary."""
+    clear = 1 << min_code
+    eoi = clear + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    width = min_code + 1
+    emit(clear, width)
+    cur = b""
+    for ch in indices:
+        nxt = cur + bytes([ch])
+        if nxt in table:
+            cur = nxt
+            continue
+        emit(table[cur], width)
+        if next_code < 4096:
+            table[nxt] = next_code
+            next_code += 1
+            # the decoder assigns entry k only after reading code k+1,
+            # so it sits one entry behind the encoder: switch width one
+            # code LATER than the encoder's own table size suggests
+            # (bump at 2^w + 1, not 2^w)
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        else:
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code + 1
+        cur = bytes([ch])
+    if cur:
+        emit(table[cur], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_encode(doc_id: int) -> bytes:
+    """Deterministic GIF89a fixture: 256-entry grayscale global color
+    table, pixel index j = (doc_id + j) % 253 (display order), LZW via
+    :func:`_gif_lzw_encode`, interlaced when doc_id % 16 == 6 (rows
+    written in pass order), plus a graphic-control extension so the
+    decoder's extension skip is exercised. Planted mean =
+    avg((doc_id + j) % 253) — grayscale palette makes the channel mean
+    equal the index mean, one exact integer division for the oracle."""
+    w = 3 + doc_id % 19
+    h = 2 + doc_id % 7
+    interlaced = doc_id % 16 == 6
+    grid = ((doc_id + np.arange(h * w, dtype=np.int64)) % 253).astype(
+        np.uint8).reshape(h, w)
+    rows = grid
+    if interlaced:
+        order = [r for s, st in _GIF_PASSES for r in range(s, h, st)]
+        rows = grid[order]  # stream order
+    data = _gif_lzw_encode(rows.tobytes())
+    gct = bytes(v for i in range(256) for v in (i, i, i))
+    out = bytearray()
+    out += b"GIF89a" + struct.pack("<HHBBB", w, h, 0xF7, 0, 0)
+    out += gct
+    out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # GCE: no transparency
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h,
+                                 0x40 if interlaced else 0)
+    out.append(8)  # LZW min code size
+    for i in range(0, len(data), 255):
+        chunk = data[i:i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
 def synth_media_blob(doc_id: int) -> bytes:
-    """doc_id % 4: 0 -> 24bpp BMP, 1 -> 16-bit PCM WAV, 2 -> P6 PPM,
-    3 -> PNG (gradient pixels, all 5 row filters)."""
+    """doc_id % 8 == 6 -> GIF (LZW, grayscale palette, interlace mix);
+    else doc_id % 4 == 3 -> PNG (gradient pixels, all 5 row filters);
+    else doc_id % 3: 0 -> 24bpp BMP, 1 -> 16-bit PCM WAV, 2 -> P6 PPM."""
+    if doc_id % 8 == 6:
+        return _gif_encode(doc_id)
     if doc_id % 4 == 3:
         return _png_encode(doc_id)
     m = doc_id % 3

@@ -69,9 +69,9 @@ class TestMultimodal:
             assert row[-1] == "stub"  # decoder column marks the fake
 
     def test_decode_real_roundtrip(self, spark):
-        """Encode->decode round trip over all four real codecs via the
+        """Encode->decode round trip over all five real codecs via the
         Spark operator: planted dims / duration / fill must come back
-        exactly (VERDICT r3 item 6 — the stub became real; PNG r5)."""
+        exactly (VERDICT r3 item 6 — the stub became real; PNG+GIF r5)."""
         import numpy as np
 
         ids = list(range(120))  # all formats, incl. BMP row-padding
@@ -81,6 +81,13 @@ class TestMultimodal:
         for d in ids:
             r = got[d]
             assert r["decoder"] == "numpy"
+            if d % 8 == 6:
+                w, h = 3 + d % 19, 2 + d % 7
+                assert (r["media_type"], r["width"], r["height"],
+                        r["n_channels"]) == ("image/gif", w, h, 3)
+                assert r["mean_value"] == float(
+                    np.mean((d + np.arange(h * w)) % 253))
+                continue
             if d % 4 == 3:
                 w, h = 4 + d % 21, 2 + d % 13
                 ch = {0: 1, 1: 3, 2: 4}[d % 3]
@@ -245,3 +252,65 @@ class TestMultimodal:
             decode_media(df).collect()
         row = decode_media(df, allow_stub=True).collect()[0]
         assert row["decoder"] == "stub"
+
+    def test_gif_lzw_roundtrip_width_boundaries(self):
+        """Encoder and decoder are independent implementations; the
+        roundtrip must survive every code-width growth (9->10->11->12)
+        and the clear-on-full resync, plus the KwKwK self-reference."""
+        import numpy as np
+        from frizbee_spark.operators.multimodal import (
+            _gif_lzw_decode, _gif_lzw_encode)
+
+        rng = np.random.RandomState(7)
+        for n in (1, 300, 5000, 80000):
+            for alpha in (4, 256):
+                idx = rng.randint(0, alpha, n).astype(np.uint8).tobytes()
+                mc = max(2, (alpha - 1).bit_length())
+                assert _gif_lzw_decode(_gif_lzw_encode(idx, mc), mc, n) == idx
+        rep = b"abcd" * 40000                      # deep dict + clears
+        assert _gif_lzw_decode(_gif_lzw_encode(rep, 8), 8, len(rep)) == rep
+        kwk = b"\x01" * 500                        # code == len(table)
+        assert _gif_lzw_decode(_gif_lzw_encode(kwk, 2), 2, 500) == kwk
+
+    def test_gif_interlace_row_placement(self):
+        """The mean is order-invariant, so the oracle can't see a wrong
+        interlace reorder — assert exact pixel placement here instead."""
+        import numpy as np
+        from frizbee_spark.operators.multimodal import (
+            _decode_gif_pixels, _gif_encode)
+
+        for d in (6, 22, 38, 70, 102, 1000006):   # % 16 == 6 -> interlaced
+            w, h = 3 + d % 19, 2 + d % 7
+            _, _, grid, pal = _decode_gif_pixels(_gif_encode(d))
+            want = ((d + np.arange(h * w)) % 253).reshape(h, w)
+            assert (grid == want).all()
+            assert (pal[:, 0] == pal[:, 1]).all()  # grayscale palette
+
+    def test_gif_malformed_rejected(self):
+        from frizbee_spark.operators.multimodal import (
+            _decode_gif, _gif_encode)
+
+        good = _gif_encode(14)
+        assert _decode_gif(good) is not None
+        assert _decode_gif(good[:20]) is None           # truncated
+        assert _decode_gif(b"GIF89a" + b"\x00" * 7) is None  # no image
+        bad = bytearray(good)
+        bad[5] = ord("x")                               # bad version
+        assert _decode_gif(bytes(bad)) is None
+
+    def test_decode_gif_through_operator(self, spark):
+        import numpy as np
+        from frizbee_spark.operators.multimodal import _gif_encode
+
+        rows = [(d, _gif_encode(d)) for d in (6, 14, 30)]
+        df = spark.createDataFrame(rows, "doc_id long, media binary")
+        got = {r["doc_id"]: r for r in decode_media(df).collect()}
+        for d, _ in rows:
+            r = got[d]
+            w, h = 3 + d % 19, 2 + d % 7
+            assert r["decoder"] == "numpy"
+            assert r["media_type"] == "image/gif"
+            assert (r["width"], r["height"], r["n_channels"]) == (w, h, 3)
+            assert r["sample_rate"] == 0 and r["duration_s"] == 0.0
+            exp = float(np.mean((d + np.arange(h * w)) % 253))
+            assert r["mean_value"] == exp
