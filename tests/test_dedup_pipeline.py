@@ -791,3 +791,44 @@ class TestTierAttribution:
                 assert tier == "simhash"
                 assert pair in per["simhash"]
                 assert pair not in per["exact"] and pair not in per["lsh"]
+
+    def test_fuzz_union_equality_with_giant_family(self, spark):
+        """Seeded fuzz over corpora with a >dense_cap exact family (the
+        chain+star kernel path), near-dup families, and short docs: the
+        attribution pair set must stay exactly the union of the per-tier
+        operators, under the same kernel semantics on every side."""
+        import hashlib
+
+        from frizbee_spark.operators.dedup import (
+            DEFAULT_DEDUP, candidate_tier_attribution, compute_signatures,
+            exact_hash_pairs, lsh_band_pairs, simhash_pairs,
+        )
+
+        for seed in (1, 2):
+            rows = []
+            base = f"seed{seed} " + " ".join(
+                f"w{seed}{i:03d}" for i in range(60))
+            for i in range(40):            # exact family > dense_cap=32
+                rows.append((i, base))
+            for i in range(10):            # near dups: one token edited
+                rows.append((100 + i, base.replace(
+                    f"w{seed}00{i % 10}", f"q{seed}{i}", 1)))
+            short = " ".join(f"s{seed}{i:02d}" for i in range(25))
+            rows += [(200, short), (201, short.replace("s", "t", 1))]
+            for i in range(60):            # unique background
+                rows.append((300 + i, " ".join(
+                    hashlib.md5(f"{seed}/{i}#{t}".encode()).hexdigest()
+                    for t in range(5))))
+            docs = spark.createDataFrame(
+                rows, "doc_id long, norm_text string")
+            cfg = DEFAULT_DEDUP
+            sigs = compute_signatures(docs, cfg).cache()
+            att = {(r["a"], r["b"]): r["tier"]
+                   for r in candidate_tier_attribution(sigs, cfg).collect()}
+            union = set()
+            for op in (exact_hash_pairs, lsh_band_pairs, simhash_pairs):
+                union |= {(r["a"], r["b"]) for r in op(sigs, cfg).collect()}
+            sigs.unpersist()
+            assert set(att) == union, f"seed {seed}"
+            fam = {p for p in att if p[0] < 40 and p[1] < 40}
+            assert fam and all(att[p] == "exact" for p in fam)
