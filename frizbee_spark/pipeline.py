@@ -50,6 +50,7 @@ from .operators.components import assign_clusters
 from .operators.dedup import (
     DEFAULT_DEDUP,
     DedupConfig,
+    candidate_tier_attribution,
     compute_signatures,
     extract_text,
     normalize_text,
@@ -63,8 +64,8 @@ from .operators.dedup import (
 
 STAGES = (
     "documents", "filter", "perplexity", "sample", "signatures",
-    "candidates", "span_pairs", "span_report", "verified", "edges",
-    "clusters", "canonical",
+    "candidates", "tier_report", "span_pairs", "span_report", "verified",
+    "edges", "clusters", "canonical",
 )
 
 # stages whose output is consumed exactly once by the next stage — flowing
@@ -75,8 +76,8 @@ STAGES = (
 # frame feeds several downstream consumers that would each re-train the
 # model if it flowed through. filter/sample are cheap per-row Catalyst.
 DEFAULT_CHECKPOINTS = (
-    "documents", "perplexity", "signatures", "span_pairs", "span_report",
-    "verified", "clusters", "canonical",
+    "documents", "perplexity", "signatures", "tier_report", "span_pairs",
+    "span_report", "verified", "clusters", "canonical",
 )
 
 
@@ -92,6 +93,13 @@ class PipelineConfig:
     # source adds Hamming-ball recall without the quadratic birthday noise
     # the old 4x16-bit chunks produced at n >> 65k.
     enable_span: bool = True
+    enable_tier_report: bool = False  # per-pair dedup-tier attribution
+    # (exact > main LSH bands > tier-2 short-doc bands > SimHash) as a
+    # checkpointed 'tier_report' stage — the tiered-dedup tuning table
+    # ("which tier earns each candidate; what would recall lose if tier
+    # X were off"). Off by default: it costs a second pairing-shuffle
+    # pass over the signature buckets, pure analysis — the dedup result
+    # itself never consumes it.
     filter_opts: dict | None = None  # kwargs for operators.textstats.
     # corpus_filter when the gate is on (thresholds, require_lang_signal)
     enable_filter: bool = False  # FineWeb/Gopher-style corpus_filter gate
@@ -634,7 +642,8 @@ class NearDupPipeline:
         span_future = None
         pool = None
         if cfg.enable_span and until not in ("documents", "signatures",
-                                             "candidates", "span_pairs"):
+                                             "candidates", "tier_report",
+                                             "span_pairs"):
             import concurrent.futures
 
             # span_report depends only on (documents, span_pairs), so it
@@ -714,6 +723,30 @@ class NearDupPipeline:
             )
             out["candidates"] = candidates
             if until == "candidates":
+                _join_check()
+                self.flush_metrics()
+                return out
+
+            # tier_report: per-pair tier attribution over the SAME
+            # signature table (exact > LSH > tier-2 > SimHash) — pure
+            # analysis deliverable, checkpointed, never consumed by the
+            # dedup chain itself. Sequential on purpose: it is opt-in
+            # and its one pairing shuffle would contend with the
+            # candidates/verify chain if overlapped.
+            if cfg.enable_tier_report:
+                out["tier_report"] = self._stage(
+                    "tier_report",
+                    lambda: candidate_tier_attribution(signatures, d),
+                )
+            if until == "tier_report":
+                if not cfg.enable_tier_report:
+                    # same contract as until='filter': a stage name
+                    # implies its stage ran
+                    raise ValueError(
+                        "run(until='tier_report') requires "
+                        "cfg.enable_tier_report=True (the attribution "
+                        "pass is opt-in)"
+                    )
                 _join_check()
                 self.flush_metrics()
                 return out

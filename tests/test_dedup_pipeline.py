@@ -832,3 +832,39 @@ class TestTierAttribution:
             assert set(att) == union, f"seed {seed}"
             fam = {p for p in att if p[0] < 40 and p[1] < 40}
             assert fam and all(att[p] == "exact" for p in fam)
+
+
+@pytest.mark.spark
+class TestTierReportStage:
+    def test_stage_matches_operator_and_resumes(
+        self, spark, corpus_dir, tmp_path_factory
+    ):
+        from frizbee_spark.operators.dedup import (
+            TIER_LABELS, candidate_tier_attribution)
+
+        work = str(tmp_path_factory.mktemp("work_tier"))
+        pipe = NearDupPipeline(
+            spark, PipelineConfig(workdir=work, enable_tier_report=True))
+        out = pipe.run(input_path=corpus_dir, until="tier_report")
+        got = {(r["a"], r["b"], r["tier"])
+               for r in out["tier_report"].collect()}
+        assert got and {t for _, _, t in got} <= set(TIER_LABELS)
+        direct = {(r["a"], r["b"], r["tier"])
+                  for r in candidate_tier_attribution(
+                      out["signatures"], pipe.cfg.dedup).collect()}
+        assert got == direct
+        # resume: a second pipeline on the same workdir must READ the
+        # checkpoint (metrics row flags resumed) and return identical rows
+        pipe2 = NearDupPipeline(
+            spark, PipelineConfig(workdir=work, enable_tier_report=True))
+        out2 = pipe2.run(input_path=corpus_dir, until="tier_report")
+        assert {(r["a"], r["b"], r["tier"])
+                for r in out2["tier_report"].collect()} == got
+        m = {r["stage"]: r["resumed"] for r in pipe2.metrics().collect()}
+        assert m["tier_report"] is True
+
+    def test_until_requires_optin(self, spark, corpus_dir, tmp_path_factory):
+        work = str(tmp_path_factory.mktemp("work_tier_off"))
+        pipe = NearDupPipeline(spark, PipelineConfig(workdir=work))
+        with pytest.raises(ValueError, match="enable_tier_report"):
+            pipe.run(input_path=corpus_dir, until="tier_report")
