@@ -314,3 +314,40 @@ class TestMultimodal:
             assert r["sample_rate"] == 0 and r["duration_s"] == 0.0
             exp = float(np.mean((d + np.arange(h * w)) % 253))
             assert r["mean_value"] == exp
+
+    def test_gif_local_color_table_and_87a(self):
+        """GIF87a with NO global table and a 4-entry LOCAL color table at
+        min_code=2: the LCT override, small-palette code width, and the
+        87a header all decode; a palette-less GIF is rejected."""
+        import struct
+
+        import numpy as np
+
+        from frizbee_spark.operators.multimodal import (
+            _decode_gif, _decode_gif_pixels, _gif_lzw_encode)
+
+        w, h = 5, 3
+        idx = np.arange(w * h, dtype=np.uint8) % 4
+        lct = bytes(v for i in (10, 40, 90, 200) for v in (i, 2*i % 256, 255-i))
+        data = _gif_lzw_encode(idx.tobytes(), 2)
+        out = bytearray()
+        out += b"GIF87a" + struct.pack("<HHBBB", w, h, 0x00, 0, 0)
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0x81)  # LCT, 4
+        out += lct
+        out.append(2)
+        for i in range(0, len(data), 255):
+            c = data[i:i + 255]
+            out.append(len(c))
+            out += c
+        out += b"\x00\x3b"
+        gw, gh, grid, pal = _decode_gif_pixels(bytes(out))
+        assert (gw, gh) == (w, h) and (grid == idx.reshape(h, w)).all()
+        assert pal.shape == (4, 3) and tuple(pal[2]) == (90, 180, 165)
+        got = _decode_gif(bytes(out))
+        assert got[6] == float(np.array([pal[i] for i in idx]).mean())
+        # image descriptor with neither global nor local palette: reject
+        bare = bytearray()
+        bare += b"GIF87a" + struct.pack("<HHBBB", w, h, 0x00, 0, 0)
+        bare += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0x00)
+        bare += bytes([2]) + b"\x00\x3b"
+        assert _decode_gif(bytes(bare)) is None
