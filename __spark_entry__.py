@@ -208,6 +208,16 @@ def q_dup_chunks(spark, sf_dir):
     return dup_chunks(_docs(spark, sf_dir), chunk_tokens=16).orderBy("chunk_md5")
 
 
+def q_dedup_rewrite(spark, sf_dir):
+    """Keep-first duplicate-span removal (Lee et al. 2022 rewrite step):
+    every 16-token chunk whose exact text occurred earlier in the corpus
+    is deleted; first occurrences and tail tokens survive. Oracle:
+    window-ranked first-occurrence + list_where reassembly in SQL."""
+    from frizbee_spark.operators.textstats import dedup_rewrite
+
+    return dedup_rewrite(_docs(spark, sf_dir), chunk_tokens=16).orderBy("doc_id")
+
+
 def q_minhash_jaccard_est(spark, sf_dir):
     """OPH slot-agreement Jaccard estimates for the LSH candidate pairs —
     signature-only similarity triage (no text read). Oracle: the pure-SQL
@@ -786,6 +796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_stats": q_cluster_stats,
         "ngram_contamination": q_ngram_contamination,
         "dup_chunks": q_dup_chunks,
+        "dedup_rewrite": q_dedup_rewrite,
         "minhash_jaccard_est": q_minhash_jaccard_est,
         "token_stats": q_token_stats,
         "bpe_token_stats": q_bpe_token_stats,
@@ -1019,6 +1030,41 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_occurrences,
                    min(doc_id) AS rep_doc_id
             FROM ch GROUP BY 1 HAVING count(DISTINCT doc_id) > 1
+        """,
+        "dedup_rewrite": r"""
+            WITH toks AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ts
+                FROM documents
+            ),
+            chunks AS (
+                SELECT doc_id, c.c AS idx,
+                       array_to_string(ts[(c.c-1)*16+1 : c.c*16], ' ') AS cstr
+                FROM toks,
+                     UNNEST(range(1, CAST(len(ts)//16 AS BIGINT) + 1)) AS c(c)
+            ),
+            rem AS (
+                SELECT doc_id, idx FROM chunks
+                QUALIFY row_number() OVER (
+                    PARTITION BY cstr ORDER BY doc_id, idx) > 1
+            ),
+            perdoc AS (
+                SELECT doc_id, list(idx ORDER BY idx) AS rix
+                FROM rem GROUP BY doc_id
+            ),
+            outv AS (
+                SELECT t.doc_id,
+                       CAST(len(ts)//16 AS BIGINT) AS n_chunks,
+                       CAST(coalesce(len(rix), 0) AS BIGINT) AS n_removed,
+                       list_where(ts, list_transform(range(1, len(ts)+1),
+                           j -> ((j-1)//16)+1 > len(ts)//16
+                                OR NOT list_contains(coalesce(rix, []),
+                                                     ((j-1)//16)+1))) AS kept
+                FROM toks t LEFT JOIN perdoc p ON t.doc_id = p.doc_id
+            )
+            SELECT doc_id, n_chunks, n_removed,
+                   CAST(len(kept) AS BIGINT) AS cleaned_tokens,
+                   coalesce(array_to_string(kept, ' '), '') AS cleaned_text
+            FROM outv ORDER BY doc_id
         """,
         "minhash_jaccard_est": _sql_oracles().minhash_jaccard_estimate_sql(
             _dedup_cfg()),

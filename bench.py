@@ -196,7 +196,7 @@ def main() -> None:
             "corpus_filter", "tfidf_topterms", "lm_perplexity",
             "stratified_sample", "user_sessions", "event_rates",
             "fuzzy_join", "shingle_containment_pairs",
-            "candidate_tiers", "curation_rollup",
+            "candidate_tiers", "curation_rollup", "dedup_rewrite",
         ):
             fn = E.queries()[name]
             t0 = time.monotonic()

@@ -174,6 +174,28 @@ def ngram_contamination(
     )
 
 
+def _chunk_md5_array(toks, chunk_tokens: int):
+    """(n_chunks expr, array<string> expr of per-chunk md5 hashes) for
+    non-overlapping ``chunk_tokens``-token windows over a token array.
+
+    Shared between :func:`dup_chunks` (detection) and
+    :func:`dedup_rewrite` (keep-first rewrite) — the chunk boundaries and
+    hash MUST stay bit-identical between them (both DuckDB oracles
+    re-derive this exact windowing), so the expression lives once.
+    Tail tokens past the last full window are never hashed.
+    """
+    n_chunks = F.floor(F.size(toks) / chunk_tokens).cast("int")
+    chunks = F.when(
+        n_chunks >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_chunks),
+            lambda c: F.md5(F.concat_ws(
+                " ", F.slice(toks, (c - 1) * chunk_tokens + 1, chunk_tokens))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return n_chunks, chunks
+
+
 def dup_chunks(
     df: DataFrame,
     chunk_tokens: int = 16,
@@ -194,15 +216,7 @@ def dup_chunks(
     Output: (chunk_md5, n_docs, n_occurrences, rep_doc_id).
     """
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    n_chunks = F.floor(F.size(toks) / chunk_tokens).cast("int")
-    chunks = F.when(
-        n_chunks >= 1,
-        F.transform(
-            F.sequence(F.lit(1), n_chunks),
-            lambda c: F.md5(F.concat_ws(
-                " ", F.slice(toks, (c - 1) * chunk_tokens + 1, chunk_tokens))),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    _, chunks = _chunk_md5_array(toks, chunk_tokens)
     ch = df.select(F.col(id_col).alias("doc_id"), F.explode(chunks).alias("chunk_md5"))
     return (
         ch.groupBy("chunk_md5")
@@ -212,6 +226,85 @@ def dup_chunks(
             F.min("doc_id").alias("rep_doc_id"),
         )
         .filter(F.col("n_docs") > 1)
+    )
+
+
+def dedup_rewrite(
+    df: DataFrame,
+    chunk_tokens: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Keep-first duplicate-span REMOVAL — the rewrite step that turns
+    :func:`dup_chunks`'s detections into a deduplicated corpus (Lee et
+    al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"; C4's duplicate-span drop). Every non-overlapping
+    ``chunk_tokens``-token window whose exact text occurred earlier in
+    the corpus — ordered by (doc_id, chunk index), across AND within
+    documents — is deleted from the document; the corpus-wide first
+    occurrence and the unhashed tail tokens are always kept.
+
+    Plan shape (one text shuffle total, the unavoidable reassembly):
+      1. per-doc chunk-md5 arrays via the shared :func:`_chunk_md5_array`
+         expression — text never leaves the row;
+      2. explode (doc_id, idx, md5) — ints + 32-char hashes only;
+      3. winner table: one md5-keyed aggregate with map-side combine,
+         filtered to ``count > 1`` so the join's build side holds only
+         genuinely duplicated chunks (singletons — the overwhelming
+         majority at web scale — die in the partial aggregate);
+      4. removal lists per doc (small int arrays), joined back to the
+         full rows on ``doc_id`` (AQE-planned; the only exchange that
+         carries text) and applied with a codegen'd ``filter`` lambda.
+
+    Output, one row per input doc: (doc_id, n_chunks, n_removed,
+    cleaned_tokens, cleaned_text). ``cleaned_text`` is the kept tokens
+    re-joined with single spaces (whitespace-normalized, like every
+    tokenizing operator in this module).
+
+    Semantics echo frizbee's exact-match fast path (reference
+    src/lib.rs match_list exact gate) promoted to span granularity.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_chunks, chunk_md5s = _chunk_md5_array(toks, chunk_tokens)
+    ch = (
+        df.select(F.col(id_col).alias("doc_id"),
+                  F.posexplode(chunk_md5s).alias("idx0", "chunk_md5"))
+        .select("doc_id", (F.col("idx0") + 1).alias("idx"), "chunk_md5")
+    )
+    winners = (
+        ch.groupBy("chunk_md5")
+        .agg(F.count("*").alias("cnt"),
+             F.min(F.struct("doc_id", "idx")).alias("w"))
+        .filter(F.col("cnt") > 1)
+        .select("chunk_md5", F.col("w.doc_id").alias("w_doc"),
+                F.col("w.idx").alias("w_idx"))
+    )
+    removed = (
+        ch.join(winners, "chunk_md5")
+        .filter(~((F.col("doc_id") == F.col("w_doc"))
+                  & (F.col("idx") == F.col("w_idx"))))
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("idx")).alias("rix"))
+    )
+    base = df.select(F.col(id_col).alias("doc_id"), toks.alias("_ts"),
+                     n_chunks.alias("_nc"))
+    rix = F.coalesce(F.col("rix"), F.array().cast("array<int>"))
+    # token j (0-based) lives in 1-based chunk floor(j/chunk_tokens)+1;
+    # chunks past _nc are the unhashed tail and always survive
+    kept = F.filter(
+        F.col("_ts"),
+        lambda t, j: (F.floor(j / chunk_tokens) + 1 > F.col("_nc"))
+        | ~F.array_contains(rix, (F.floor(j / chunk_tokens) + 1).cast("int")),
+    )
+    return (
+        base.join(removed, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("_nc").cast("long").alias("n_chunks"),
+            F.coalesce(F.size("rix"), F.lit(0)).cast("long").alias("n_removed"),
+            F.size(kept).cast("long").alias("cleaned_tokens"),
+            F.concat_ws(" ", kept).alias("cleaned_text"),
+        )
     )
 
 
