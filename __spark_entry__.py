@@ -218,6 +218,66 @@ def q_dedup_rewrite(spark, sf_dir):
     return dedup_rewrite(_docs(spark, sf_dir), chunk_tokens=16).orderBy("doc_id")
 
 
+def q_url_dedup(spark, sf_dir):
+    """URL-variant collapse (r5): deterministic crawl-style URL variants
+    are synthesized per doc_id (case/port/tracking-param/fragment/
+    trailing-slash decorations over a shared path family — pure doc_id
+    arithmetic, same planted-fixture pattern as media_decode), then
+    url_dedup canonicalizes and groups them. The oracle re-derives both
+    the synthesis AND the full canonicalization (RFC-3986 split, default
+    -port strip, tracking-param filter + lexicographic param sort) in
+    DuckDB, so any rule drift hash-mismatches."""
+    from frizbee_spark.operators.webnorm import url_dedup
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    fam = (F.col("doc_id") % 97).cast("string")
+    v = F.col("doc_id") % 5
+    url = (
+        F.when(v == 0, F.concat(F.lit("https://www.Example.COM/a/"), fam))
+        .when(v == 1, F.concat(F.lit("https://www.example.com:443/a/"), fam,
+                               F.lit("/")))
+        .when(v == 2, F.concat(F.lit("HTTPS://www.example.com/a/"), fam,
+                               F.lit("?utm_source=feed&fbclid=z"),
+                               F.col("doc_id").cast("string")))
+        .when(v == 3, F.concat(F.lit("https://www.example.com/a/"), fam,
+                               F.lit("?b=2&a=1")))
+        .otherwise(F.concat(F.lit("https://www.example.com/a/"), fam,
+                            F.lit("?a=1&b=2&utm_campaign=x#frag")))
+    )
+    return (
+        url_dedup(d.select("doc_id", url.alias("url")), id_col="doc_id")
+        .orderBy("canonical_url")
+    )
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII detection + masking (r5): emails / IPv4s / phone numbers are
+    planted per doc_id onto a digit-stripped text prefix (so the only
+    matches are the planted ones), then pii_scrub counts and masks them.
+    The oracle replants identically and re-runs the same RE2/Java-common
+    regexes in DuckDB — clean_text is compared byte-for-byte."""
+    from frizbee_spark.operators.webnorm import pii_scrub
+
+    d = _docs(spark, sf_dir)
+    prefix = F.regexp_replace(F.substring(F.col("text"), 1, 40), "[0-9]", "")
+    m = F.col("doc_id") % 4
+    plant = (
+        F.when(m == 0, F.concat(F.lit(" contact user"),
+                                F.col("doc_id").cast("string"),
+                                F.lit("@example.com")))
+        .when(m == 1, F.concat(F.lit(" call +1 (555) 123-"),
+                               F.lpad((F.col("doc_id") % 10000).cast("string"),
+                                      4, "0")))
+        .when(m == 2, F.concat(F.lit(" host 10.0."),
+                               (F.col("doc_id") % 256).cast("string"),
+                               F.lit("."),
+                               ((F.col("doc_id") * 7) % 256).cast("string")))
+        .otherwise(F.lit(""))
+    )
+    planted = d.select("doc_id", F.concat(prefix, plant).alias("text"))
+    return pii_scrub(planted).orderBy("doc_id")
+
+
 def q_minhash_jaccard_est(spark, sf_dir):
     """OPH slot-agreement Jaccard estimates for the LSH candidate pairs —
     signature-only similarity triage (no text read). Oracle: the pure-SQL
@@ -797,6 +857,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_contamination": q_ngram_contamination,
         "dup_chunks": q_dup_chunks,
         "dedup_rewrite": q_dedup_rewrite,
+        "url_dedup": q_url_dedup,
+        "pii_scrub": q_pii_scrub,
         "minhash_jaccard_est": q_minhash_jaccard_est,
         "token_stats": q_token_stats,
         "bpe_token_stats": q_bpe_token_stats,
@@ -1065,6 +1127,116 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(kept) AS BIGINT) AS cleaned_tokens,
                    coalesce(array_to_string(kept, ' '), '') AS cleaned_text
             FROM outv ORDER BY doc_id
+        """,
+        "url_dedup": r"""
+            WITH urls AS (
+                SELECT doc_id,
+                       CASE doc_id % 5
+                         WHEN 0 THEN 'https://www.Example.COM/a/'
+                                     || CAST(doc_id % 97 AS VARCHAR)
+                         WHEN 1 THEN 'https://www.example.com:443/a/'
+                                     || CAST(doc_id % 97 AS VARCHAR) || '/'
+                         WHEN 2 THEN 'HTTPS://www.example.com/a/'
+                                     || CAST(doc_id % 97 AS VARCHAR)
+                                     || '?utm_source=feed&fbclid=z'
+                                     || CAST(doc_id AS VARCHAR)
+                         WHEN 3 THEN 'https://www.example.com/a/'
+                                     || CAST(doc_id % 97 AS VARCHAR) || '?b=2&a=1'
+                         ELSE 'https://www.example.com/a/'
+                              || CAST(doc_id % 97 AS VARCHAR)
+                              || '?a=1&b=2&utm_campaign=x#frag'
+                       END AS url
+                FROM documents
+            ),
+            parsed AS (
+                SELECT doc_id, url,
+                    lower(regexp_extract(url,
+                      '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?(#.*)?$', 1)) AS scheme,
+                    lower(regexp_extract(url,
+                      '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?(#.*)?$', 2)) AS auth,
+                    regexp_extract(url,
+                      '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?(#.*)?$', 3) AS raw_path,
+                    regexp_replace(regexp_extract(url,
+                      '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?(#.*)?$', 4),
+                      '^\?', '') AS rawq
+                FROM urls
+            ),
+            qf AS (
+                SELECT *, list_sort(list_filter(string_split(rawq, '&'),
+                    p -> p <> '' AND NOT regexp_matches(p,
+                      '^(utm_[a-z]+|fbclid|gclid|msclkid|ref|mc_cid|mc_eid)=')))
+                    AS qp
+                FROM parsed
+            ),
+            canon AS (
+                SELECT doc_id, url,
+                    CASE WHEN scheme = '' THEN url ELSE
+                      scheme || '://' ||
+                      CASE WHEN scheme = 'http'
+                             THEN regexp_replace(auth, ':80$', '')
+                           WHEN scheme = 'https'
+                             THEN regexp_replace(auth, ':443$', '')
+                           ELSE auth END ||
+                      CASE WHEN regexp_replace(raw_path, '/+$', '') = ''
+                             THEN '/'
+                           ELSE regexp_replace(raw_path, '/+$', '') END ||
+                      CASE WHEN len(qp) > 0
+                             THEN '?' || array_to_string(qp, '&')
+                           ELSE '' END
+                    END AS canonical_url
+                FROM qf
+            )
+            SELECT canonical_url,
+                   count(*) AS n_variants,
+                   count(DISTINCT url) AS n_distinct_urls,
+                   min(url) AS rep_url,
+                   min(doc_id) AS rep_id
+            FROM canon GROUP BY canonical_url ORDER BY canonical_url
+        """,
+        "pii_scrub": r"""
+            WITH planted AS (
+                SELECT doc_id,
+                       regexp_replace(substring(text, 1, 40), '[0-9]', '', 'g')
+                       || CASE doc_id % 4
+                            WHEN 0 THEN ' contact user'
+                                        || CAST(doc_id AS VARCHAR)
+                                        || '@example.com'
+                            WHEN 1 THEN ' call +1 (555) 123-'
+                                        || lpad(CAST(doc_id % 10000 AS VARCHAR),
+                                                4, '0')
+                            WHEN 2 THEN ' host 10.0.'
+                                        || CAST(doc_id % 256 AS VARCHAR) || '.'
+                                        || CAST((doc_id * 7) % 256 AS VARCHAR)
+                            ELSE ''
+                          END AS text
+                FROM documents
+            )
+            , masked AS (
+                -- counts are sequential, like the operator: each class
+                -- counted on the text with higher-precedence classes
+                -- already masked
+                SELECT doc_id, text,
+                       regexp_replace(text,
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                         '<EMAIL>', 'g') AS after_email
+                FROM planted
+            ), masked2 AS (
+                SELECT *, regexp_replace(after_email,
+                         '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g')
+                         AS after_ip
+                FROM masked
+            )
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                     AS BIGINT) AS n_emails,
+                   CAST(len(regexp_extract_all(after_email,
+                     '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) AS n_ipv4,
+                   CAST(len(regexp_extract_all(after_ip,
+                     '\+?[0-9][0-9()\- ]{7,}[0-9]')) AS BIGINT) AS n_phones,
+                   regexp_replace(after_ip,
+                     '\+?[0-9][0-9()\- ]{7,}[0-9]', '<PHONE>', 'g') AS clean_text
+            FROM masked2 ORDER BY doc_id
         """,
         "minhash_jaccard_est": _sql_oracles().minhash_jaccard_estimate_sql(
             _dedup_cfg()),

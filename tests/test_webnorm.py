@@ -1,0 +1,93 @@
+"""webnorm operators: URL canonicalization/dedup and PII scrubbing."""
+
+import pytest
+
+from frizbee_spark.operators.webnorm import (
+    canonicalize_url,
+    pii_scrub,
+    url_dedup,
+)
+
+
+@pytest.mark.spark
+class TestCanonicalizeUrl:
+    def test_rules(self, spark):
+        rows = [
+            (1, "https://www.Example.COM/a/1"),          # host case
+            (2, "https://www.example.com:443/a/1/"),      # default port + slash
+            (3, "HTTPS://www.example.com/a/1?utm_source=f&fbclid=z"),  # tracking
+            (4, "https://www.example.com/a/1?b=2&a=1"),   # param order
+            (5, "https://www.example.com/a/1?a=1&b=2&utm_campaign=x#frag"),
+            (6, "http://Example.com:80"),                 # empty path -> /
+            (7, "http://example.com:8080/x"),             # non-default port kept
+            (8, "https://example.com:80/x"),              # :80 is NOT https default
+            (9, "not a url"),                             # pass-through
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, url string")
+        got = {r["doc_id"]: r["canonical_url"] for r in canonicalize_url(df).collect()}
+        assert got[1] == got[2] == got[3] == "https://www.example.com/a/1"
+        assert got[4] == got[5] == "https://www.example.com/a/1?a=1&b=2"
+        assert got[6] == "http://example.com/"
+        assert got[7] == "http://example.com:8080/x"
+        assert got[8] == "https://example.com:80/x"
+        assert got[9] == "not a url"
+
+    def test_url_dedup_groups(self, spark):
+        rows = [
+            (1, "https://A.com/p"),
+            (2, "https://a.com/p/"),
+            (3, "https://a.com/p?utm_source=x"),
+            (4, "https://a.com/q"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, url string")
+        got = {r["canonical_url"]: r for r in url_dedup(df, id_col="doc_id").collect()}
+        g = got["https://a.com/p"]
+        assert g["n_variants"] == 3 and g["n_distinct_urls"] == 3
+        assert g["rep_id"] == 1 and g["rep_url"] == "https://A.com/p"
+        assert got["https://a.com/q"]["n_variants"] == 1
+
+    def test_url_dedup_exact_duplicate_urls(self, spark):
+        # same raw url twice: n_variants counts rows, n_distinct_urls urls
+        df = spark.createDataFrame(
+            [(1, "https://a.com/p"), (2, "https://a.com/p")],
+            "doc_id long, url string",
+        )
+        [g] = url_dedup(df, id_col="doc_id").collect()
+        assert g["n_variants"] == 2 and g["n_distinct_urls"] == 1
+
+
+@pytest.mark.spark
+class TestPiiScrub:
+    def test_counts_and_masks(self, spark):
+        rows = [
+            (1, "mail me at a.b+c@foo.co or x@y.io today"),
+            (2, "server 10.0.3.245 and 192.168.1.1 up"),
+            (3, "call +1 (555) 123-4567 now"),
+            (4, "clean text no pii"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+        assert got[1]["n_emails"] == 2
+        assert got[1]["clean_text"] == "mail me at <EMAIL> or <EMAIL> today"
+        assert got[2]["n_ipv4"] == 2
+        assert got[2]["clean_text"] == "server <IP> and <IP> up"
+        assert got[3]["n_phones"] == 1
+        assert got[3]["clean_text"] == "call <PHONE> now"
+        assert got[4]["clean_text"] == "clean text no pii"
+        assert all(got[4][c] == 0 for c in ("n_emails", "n_ipv4", "n_phones"))
+
+    def test_mixed_row_order_of_masking(self, spark):
+        # email digits and IP digits must not be double-counted as phones
+        df = spark.createDataFrame(
+            [(1, "u12345678901@x.io at 10.20.30.40 call 555 123 4567 end")],
+            "doc_id long, text string",
+        )
+        [r] = pii_scrub(df).collect()
+        assert (r["n_emails"], r["n_ipv4"], r["n_phones"]) == (1, 1, 1)
+        assert r["clean_text"] == "<EMAIL> at <IP> call <PHONE> end"
+
+    def test_zero_shuffle_plan(self, spark):
+        # pure projection: no Exchange anywhere in the plan
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        plan = pii_scrub(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
