@@ -76,11 +76,14 @@ def url_dedup(df: DataFrame, url_col: str = "url",
     (lexicographic min raw URL; min id when ``id_col`` is given).
 
     Plan shape: canonicalization is a per-row projection fused into the
-    scan; the single shuffle is the canonical-key aggregate with
-    map-side combine — at 10^12 rows the reduce side sees one row per
-    canonical URL, not per crawl. Hot keys (a page crawled millions of
-    times) reduce to counters in the partial aggregate, so no salting is
-    needed: the combiner IS the skew handling.
+    scan. The countDistinct makes Catalyst plan a two-phase aggregate
+    (verified with .explain): exchange 1 is keyed on
+    (canonical_url, url) AFTER a map-side partial aggregate — repeat
+    crawls of the same raw URL (the hot case at 10^12 rows) collapse to
+    counters before anything ships — and exchange 2 rolls the
+    already-distinct (canonical, url) rows up to one row per canonical
+    URL. Raw crawl rows never cross the wire, so no salting is needed:
+    the combiner IS the skew handling.
 
     Output: (canonical_url, n_variants, n_distinct_urls, rep_url
     [, rep_id]).

@@ -46,6 +46,17 @@ class TestCanonicalizeUrl:
         assert g["rep_id"] == 1 and g["rep_url"] == "https://A.com/p"
         assert got["https://a.com/q"]["n_variants"] == 1
 
+    def test_url_dedup_plan_shape(self, spark):
+        # two-phase aggregate: exactly 2 exchanges, and a partial
+        # aggregate below the first one so repeat crawls of the same raw
+        # url collapse map-side before anything ships
+        df = spark.createDataFrame([(1, "https://a.com/p")],
+                                   "doc_id long, url string")
+        plan = url_dedup(df, id_col="doc_id")._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert plan.count("Exchange") == 2
+        assert "partial_count" in plan
+
     def test_url_dedup_exact_duplicate_urls(self, spark):
         # same raw url twice: n_variants counts rows, n_distinct_urls urls
         df = spark.createDataFrame(
