@@ -63,7 +63,7 @@ from .operators.dedup import (
 )
 
 STAGES = (
-    "documents", "filter", "perplexity", "sample", "signatures",
+    "documents", "url_dedup", "filter", "perplexity", "sample", "signatures",
     "candidates", "tier_report", "span_pairs", "span_report", "verified",
     "edges", "clusters", "canonical",
 )
@@ -102,6 +102,16 @@ class PipelineConfig:
     # itself never consumes it.
     filter_opts: dict | None = None  # kwargs for operators.textstats.
     # corpus_filter when the gate is on (thresholds, require_lang_signal)
+    enable_url_dedup: bool = False  # URL-variant collapse BEFORE any
+    # content stage: canonicalize_url (case/ports/fragments/tracking
+    # params/param order) over the documents table, keeping ONE doc per
+    # canonical URL — earliest warc_ts, then lexicographic min url
+    # (crawl convention: first capture wins). The per-doc attribution
+    # table (doc_id, canonical_url, keep) is the 'url_dedup' stage
+    # output. Cheapest gate in the pipeline (never reads text — the
+    # shuffled rows are ids + urls); requires a 'url' column in the
+    # source. Off by default: the driver tables have no url column, and
+    # dedup-everything is this pipeline's contract.
     enable_filter: bool = False  # FineWeb/Gopher-style corpus_filter gate
     # BEFORE dedup: drop too-short/repetitive/language-less docs so no
     # signature or verify work is spent on rows curation discards anyway.
@@ -504,6 +514,49 @@ class NearDupPipeline:
             self.flush_metrics()
             return out
 
+        # URL-variant collapse: the cheapest gate runs first — no text is
+        # read, the window shuffles only (doc_id, url, warc_ts, canonical)
+        # rows, and every content stage downstream (filter included) sees
+        # one doc per canonical URL.
+        if cfg.enable_url_dedup:
+            from .operators.webnorm import canonicalize_url
+
+            if "url" not in documents.columns:
+                raise ValueError(
+                    "enable_url_dedup requires a 'url' column in the source "
+                    "(the driver parquet tables have none — this gate is for "
+                    "crawl-shaped corpora)"
+                )
+            has_ts = "warc_ts" in documents.columns
+            docs_for_url = documents  # bind NOW, like the other gates
+
+            def s_url_dedup():
+                cols = ["doc_id", "url"] + (["warc_ts"] if has_ts else [])
+                c = canonicalize_url(docs_for_url.select(*cols))
+                order = ([F.col("warc_ts").asc()] if has_ts else []) + [
+                    F.col("url").asc(), F.col("doc_id").asc()]
+                w = Window.partitionBy("canonical_url").orderBy(*order)
+                return c.select(
+                    "doc_id", "canonical_url",
+                    (F.row_number().over(w) == 1).alias("keep"),
+                )
+
+            ud = self._stage("url_dedup", s_url_dedup,
+                             meta={"gate": "url-canonical-v1"})
+            out["url_dedup"] = ud
+            documents = documents.join(
+                ud.filter("keep").select("doc_id"), "doc_id", "left_semi"
+            )
+        if until == "url_dedup":
+            if not cfg.enable_url_dedup:
+                raise ValueError(
+                    "run(until='url_dedup') requires cfg.enable_url_dedup="
+                    "True (the URL collapse is opt-in)"
+                )
+            _join_check()
+            self.flush_metrics()
+            return out
+
         filter_opts_eff: dict = {}
         if cfg.enable_filter:
             # curation gate: the decision table is a first-class output;
@@ -697,6 +750,8 @@ class NearDupPipeline:
                 # checkpoints (their resumes keep working), while any
                 # on<->off toggle of one workdir still mismatches
                 meta={**signature_meta(d),
+                      **({"url_gate": {"gate": "url-canonical-v1"}}
+                         if cfg.enable_url_dedup else {}),
                       **({"input_gate": {"gate": "corpus_filter-v1",
                                          **filter_opts_eff}}
                          if cfg.enable_filter else {}),

@@ -631,6 +631,77 @@ class TestFilterGate:
         assert out["signatures"].count() > 0
 
 
+class TestUrlDedupGate:
+    """Opt-in URL-variant collapse before any content stage
+    (enable_url_dedup): one doc per canonical URL survives, earliest
+    warc_ts wins."""
+
+    @pytest.fixture(scope="class")
+    def crawl(self, spark, corpus_dir):
+        # recrawl 10 pages under tracking-param url variants, one hour
+        # later: the canonicalizer must collapse each onto its original
+        src = spark.read.parquet(os.path.join(corpus_dir, "documents.parquet"))
+        variants = (
+            src.orderBy("url").limit(10)
+            .withColumn("url", F.concat(F.col("url"),
+                                        F.lit("?utm_source=recrawl&fbclid=z")))
+            .withColumn("warc_ts",
+                        F.col("warc_ts") + F.expr("INTERVAL 1 HOUR"))
+        )
+        return src.unionByName(variants)
+
+    @pytest.fixture(scope="class")
+    def gated(self, spark, crawl, tmp_path_factory):
+        work = str(tmp_path_factory.mktemp("work_urlgate"))
+        pipe = NearDupPipeline(spark, PipelineConfig(
+            workdir=work, enable_url_dedup=True))
+        out = pipe.run(docs=crawl, until="clusters")
+        return work, out
+
+    def test_variants_collapse_first_capture_wins(self, spark, crawl, gated):
+        _, out = gated
+        ud = out["url_dedup"]
+        assert ud.count() == N_DOCS + 10
+        kept = ud.filter("keep")
+        assert kept.count() == N_DOCS
+        # the winners are the ORIGINAL (earlier-warc_ts) rows: no kept
+        # url carries the recrawl decoration
+        orig_ids = {
+            r["doc_id"]
+            for r in crawl.filter(~F.col("url").contains("utm_source"))
+            .select(F.xxhash64("url").alias("doc_id")).collect()
+        }
+        assert {r["doc_id"] for r in kept.collect()} <= orig_ids
+        # downstream content stages see only the collapsed set
+        clustered = {r["doc_id"] for r in out["clusters"].select("doc_id").collect()}
+        assert clustered == {r["doc_id"] for r in kept.collect()}
+
+    def test_toggle_fails_resume_loudly(self, spark, crawl, gated):
+        work, _ = gated
+        pipe = NearDupPipeline(spark, PipelineConfig(workdir=work))
+        with pytest.raises(RuntimeError, match="incompatible configuration"):
+            pipe.run(docs=crawl, until="signatures")
+
+    def test_until_requires_gate(self, spark, corpus_dir, tmp_path_factory):
+        work = str(tmp_path_factory.mktemp("work_nourl"))
+        pipe = NearDupPipeline(spark, PipelineConfig(workdir=work))
+        with pytest.raises(ValueError, match="enable_url_dedup"):
+            pipe.run(input_path=corpus_dir, until="url_dedup")
+
+    def test_urlless_source_raises(self, spark, corpus_dir,
+                                   tmp_path_factory):
+        src = (
+            spark.read.parquet(os.path.join(corpus_dir, "documents.parquet"))
+            .withColumn("doc_id", F.xxhash64("url"))
+            .drop("url")
+        )
+        work = str(tmp_path_factory.mktemp("work_urlless"))
+        pipe = NearDupPipeline(spark, PipelineConfig(
+            workdir=work, enable_url_dedup=True))
+        with pytest.raises(ValueError, match="'url' column"):
+            pipe.run(docs=src, until="url_dedup")
+
+
 class TestShortDocTier:
     """Tier-2 short-doc banding (DedupConfig.short_doc_max_bytes): the
     32x4 envelope catches a J~0.4 pair only ~50% of the time, which is
