@@ -278,6 +278,64 @@ def q_pii_scrub(spark, sf_dir):
     return pii_scrub(planted).orderBy("doc_id")
 
 
+def _synth_hosted_urls(d):
+    """Deterministic multi-host crawl fixture for the domain queries:
+    7 hosts, a :8080 port decoration every 5th doc, and a non-URL row
+    every 11th (the dirty-crawl case domain ops must pass through).
+    Mirrored verbatim in the DuckDB oracles."""
+    site = (F.col("doc_id") % 7).cast("string")
+    port = F.when(F.col("doc_id") % 5 == 0, F.lit(":8080")).otherwise(F.lit(""))
+    url = F.when(
+        F.col("doc_id") % 11 == 0,
+        F.concat(F.lit("not-a-url-"), F.col("doc_id").cast("string")),
+    ).otherwise(F.concat(
+        F.lit("https://site"), site, F.lit(".example.com"), port,
+        F.lit("/p/"), F.col("doc_id").cast("string"),
+    ))
+    return d.select("doc_id", url.alias("url"))
+
+
+_SYNTH_HOSTED_URLS_SQL = """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 11 = 0
+                        THEN 'not-a-url-' || CAST(doc_id AS VARCHAR)
+                        ELSE 'https://site' || CAST(doc_id % 7 AS VARCHAR)
+                             || '.example.com'
+                             || CASE WHEN doc_id % 5 = 0 THEN ':8080'
+                                     ELSE '' END
+                             || '/p/' || CAST(doc_id AS VARCHAR)
+                   END AS url
+            FROM documents
+"""
+
+_HOST_SQL = """lower(regexp_extract(url,
+                 '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\\?[^#]*)?(#.*)?$',
+                 2))"""
+
+
+def q_domain_stats(spark, sf_dir):
+    """Per-host corpus profile over the multi-host fixture (7 hosts +
+    port decorations + non-URL rows under ''). Oracle re-derives host
+    extraction (lowercase, port strip) and both counts in DuckDB."""
+    from frizbee_spark.operators.webnorm import domain_stats
+
+    urls = _synth_hosted_urls(_docs(spark, sf_dir).select("doc_id"))
+    return domain_stats(urls).orderBy("host")
+
+
+def q_domain_cap(spark, sf_dir):
+    """C4/Gopher-style per-domain cap (10 docs/host) over the same
+    fixture: within a host docs rank by md5(url) with id tie-break
+    (deterministic pseudo-random sample); non-URL rows pass through
+    uncapped at rank 1. WindowGroupLimit keeps hot hosts map-side-
+    truncated (plan asserted in pytest). Oracle: the same row_number
+    window in DuckDB (md5 hex is engine-identical)."""
+    from frizbee_spark.operators.webnorm import domain_cap
+
+    urls = _synth_hosted_urls(_docs(spark, sf_dir).select("doc_id"))
+    return domain_cap(urls, cap=10).orderBy("host", "domain_rank", "doc_id")
+
+
 def q_minhash_jaccard_est(spark, sf_dir):
     """OPH slot-agreement Jaccard estimates for the LSH candidate pairs —
     signature-only similarity triage (no text read). Oracle: the pure-SQL
@@ -859,6 +917,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_rewrite": q_dedup_rewrite,
         "url_dedup": q_url_dedup,
         "pii_scrub": q_pii_scrub,
+        "domain_stats": q_domain_stats,
+        "domain_cap": q_domain_cap,
         "minhash_jaccard_est": q_minhash_jaccard_est,
         "token_stats": q_token_stats,
         "bpe_token_stats": q_bpe_token_stats,
@@ -1237,6 +1297,34 @@ def oracle_sql() -> dict[str, str]:
                    regexp_replace(after_ip,
                      '\+?[0-9][0-9()\- ]{7,}[0-9]', '<PHONE>', 'g') AS clean_text
             FROM masked2 ORDER BY doc_id
+        """,
+        "domain_stats": f"""
+            WITH urls AS ({_SYNTH_HOSTED_URLS_SQL}),
+            hosts AS (
+                SELECT doc_id, url,
+                       regexp_replace({_HOST_SQL}, ':[0-9]+$', '') AS host
+                FROM urls
+            )
+            SELECT host, count(*) AS n_docs, count(DISTINCT url) AS n_urls
+            FROM hosts GROUP BY host ORDER BY host
+        """,
+        "domain_cap": f"""
+            WITH urls AS ({_SYNTH_HOSTED_URLS_SQL}),
+            hosts AS (
+                SELECT doc_id, url,
+                       regexp_replace({_HOST_SQL}, ':[0-9]+$', '') AS host
+                FROM urls
+            ),
+            ranked AS (
+                SELECT doc_id, host,
+                       row_number() OVER (
+                           PARTITION BY host ORDER BY md5(url), doc_id) AS rn
+                FROM hosts
+            )
+            SELECT doc_id, host,
+                   CASE WHEN host = '' THEN 1 ELSE rn END AS domain_rank
+            FROM ranked WHERE host = '' OR rn <= 10
+            ORDER BY host, domain_rank, doc_id
         """,
         "minhash_jaccard_est": _sql_oracles().minhash_jaccard_estimate_sql(
             _dedup_cfg()),

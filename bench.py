@@ -197,7 +197,7 @@ def main() -> None:
             "stratified_sample", "user_sessions", "event_rates",
             "fuzzy_join", "shingle_containment_pairs",
             "candidate_tiers", "curation_rollup", "dedup_rewrite",
-            "url_dedup", "pii_scrub",
+            "url_dedup", "pii_scrub", "domain_stats", "domain_cap",
         ):
             fn = E.queries()[name]
             t0 = time.monotonic()

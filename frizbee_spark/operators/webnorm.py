@@ -20,6 +20,7 @@ ANSI-SQL oracle in __spark_entry__.oracle_sql().
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
 
 # RFC-3986-ish splitter: scheme :// authority path [?query] [#fragment].
 # Group numbers are shared with the DuckDB oracles verbatim.
@@ -97,6 +98,68 @@ def url_dedup(df: DataFrame, url_col: str = "url",
     if id_col is not None:
         aggs.append(F.min(F.col(id_col)).alias("rep_id"))
     return work.groupBy("canonical_url").agg(*aggs)
+
+
+def host_of(url_col: str = "url"):
+    """Expression: lowercase host of a URL, port stripped; '' when the
+    string has no ``scheme://`` authority. Label-level only (no public-
+    suffix list in-container, so eTLD+1 grouping is out of scope —
+    grouping by full host is the conservative choice: it only ever
+    OVER-splits domains, never merges two)."""
+    return F.regexp_replace(
+        F.lower(F.regexp_extract(F.col(url_col), URL_RE, 2)), ":[0-9]+$", "")
+
+
+def domain_stats(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Per-host corpus profile: row count and distinct-URL count — the
+    table a curation pipeline reads to find over-represented hosts
+    before capping them. Rows without a parseable host group under ''.
+
+    One map-side-combined aggregate; hot hosts collapse to counters
+    before the shuffle. Output: (host, n_docs, n_urls).
+    """
+    return (
+        df.select(host_of(url_col).alias("host"), F.col(url_col).alias("_u"))
+        .groupBy("host")
+        .agg(F.count("*").alias("n_docs"),
+             F.countDistinct("_u").alias("n_urls"))
+    )
+
+
+def domain_cap(df: DataFrame, cap: int, url_col: str = "url",
+               id_col: str = "doc_id") -> DataFrame:
+    """Cap each host at ``cap`` docs (C4/Gopher-style anti-domination:
+    no single domain may flood the training mix). Deterministic and
+    position-free: within a host, docs rank by ``md5(url)`` (id
+    tie-break), so the kept set is a stable pseudo-random sample —
+    append-stable under corpus growth for the docs that stay in rank,
+    unlike first-N-by-crawl-order.
+
+    Rows without a parseable host are NOT a domain and pass through
+    uncapped: they get a per-row salted partition key, so the billion
+    url-less rows a dirty crawl carries never pile into one window
+    partition. Scale: Spark plans row_number<=k as WindowGroupLimit
+    (asserted in tests) — every map task pre-truncates to ``cap`` rows
+    per host BEFORE the exchange, so a 10^9-doc hot domain ships ``cap``
+    rows per task, not 10^9, and the reduce-side sort is bounded.
+
+    Output: the input row's id plus (host, domain_rank), only rows that
+    survive the cap.
+    """
+    if cap < 1:
+        raise ValueError(f"domain_cap needs cap >= 1, got {cap}")
+    host = host_of(url_col)
+    part = F.when(
+        host == "", F.concat(F.lit("\x00nohost\x00"),
+                             F.col(id_col).cast("string"))
+    ).otherwise(host)
+    w = Window.partitionBy(part).orderBy(F.md5(F.col(url_col)), F.col(id_col))
+    return (
+        df.select(F.col(id_col), F.col(url_col), host.alias("host"))
+        .withColumn("domain_rank", F.row_number().over(w))
+        .filter(F.col("domain_rank") <= cap)
+        .drop(url_col)
+    )
 
 
 # PII patterns — RE2/Java-identical subset: no lookaround, no

@@ -68,6 +68,66 @@ class TestCanonicalizeUrl:
 
 
 @pytest.mark.spark
+class TestDomainOps:
+    def test_domain_stats(self, spark):
+        from frizbee_spark.operators.webnorm import domain_stats
+
+        rows = [
+            (1, "https://A.com/x"),
+            (2, "https://a.com:8080/y"),   # port stripped -> same host
+            (3, "https://a.com/x"),        # repeat url path, distinct url
+            (4, "https://b.com/z"),
+            (5, "junk"),                   # no host -> ''
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, url string")
+        got = {r["host"]: r for r in domain_stats(df).collect()}
+        assert got["a.com"]["n_docs"] == 3 and got["a.com"]["n_urls"] == 3
+        assert got["b.com"]["n_docs"] == 1
+        assert got[""]["n_docs"] == 1
+
+    def test_domain_cap_determinism_and_passthrough(self, spark):
+        from frizbee_spark.operators.webnorm import domain_cap
+
+        rows = [(i, f"https://hot.com/p/{i}") for i in range(50)] + [
+            (100, "https://cold.com/only"),
+            (200, "nohost-a"), (201, "nohost-b"), (202, "nohost-c"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, url string")
+        got = domain_cap(df, cap=5).collect()
+        by_host: dict = {}
+        for r in got:
+            by_host.setdefault(r["host"], []).append(r)
+        assert len(by_host["hot.com"]) == 5
+        assert sorted(r["domain_rank"] for r in by_host["hot.com"]) == [1, 2, 3, 4, 5]
+        assert len(by_host["cold.com"]) == 1
+        # url-less rows are not a domain: ALL pass through at rank 1
+        assert len(by_host[""]) == 3
+        assert {r["domain_rank"] for r in by_host[""]} == {1}
+        # deterministic: same kept ids on re-run
+        again = {r["doc_id"] for r in domain_cap(df, cap=5).collect()}
+        assert again == {r["doc_id"] for r in got}
+
+    def test_domain_cap_plan_uses_window_group_limit(self, spark):
+        from frizbee_spark.operators.webnorm import domain_cap
+
+        df = spark.createDataFrame([(1, "https://a.com/x")],
+                                   "doc_id long, url string")
+        plan = domain_cap(df, cap=3)._jdf.queryExecution() \
+            .executedPlan().toString()
+        # rank<=k must compile to WindowGroupLimit: map tasks pre-truncate
+        # each host to k rows BEFORE the exchange (hot-domain skew guard)
+        assert "WindowGroupLimit" in plan
+
+    def test_domain_cap_validates_cap(self, spark):
+        from frizbee_spark.operators.webnorm import domain_cap
+
+        df = spark.createDataFrame([(1, "https://a.com/x")],
+                                   "doc_id long, url string")
+        with pytest.raises(ValueError, match="cap >= 1"):
+            domain_cap(df, cap=0)
+
+
+@pytest.mark.spark
 class TestPiiScrub:
     def test_counts_and_masks(self, spark):
         rows = [
