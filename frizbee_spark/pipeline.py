@@ -63,7 +63,8 @@ from .operators.dedup import (
 )
 
 STAGES = (
-    "documents", "url_dedup", "filter", "perplexity", "sample", "signatures",
+    "documents", "url_dedup", "domain_cap", "filter", "perplexity", "sample",
+    "signatures",
     "candidates", "tier_report", "span_pairs", "span_report", "verified",
     "edges", "clusters", "canonical",
 )
@@ -112,6 +113,14 @@ class PipelineConfig:
     # shuffled rows are ids + urls); requires a 'url' column in the
     # source. Off by default: the driver tables have no url column, and
     # dedup-everything is this pipeline's contract.
+    domain_cap_n: int | None = None  # per-domain anti-domination cap
+    # (Gopher/C4 convention) after the URL collapse, before the content
+    # gates: each host keeps at most N docs, ranked by md5(url) with id
+    # tie-break (deterministic pseudo-random sample, append-stable);
+    # url-less rows pass through uncapped. WindowGroupLimit pre-truncates
+    # hot domains map-side, so a 10^9-doc host ships N rows per task.
+    # The (doc_id, host, domain_rank) table is the 'domain_cap' stage.
+    # None = gate off; requires a 'url' column.
     enable_filter: bool = False  # FineWeb/Gopher-style corpus_filter gate
     # BEFORE dedup: drop too-short/repetitive/language-less docs so no
     # signature or verify work is spent on rows curation discards anyway.
@@ -557,6 +566,40 @@ class NearDupPipeline:
             self.flush_metrics()
             return out
 
+        # per-domain anti-domination cap: like url_dedup, shuffles only
+        # (doc_id, url, host) rows — and WindowGroupLimit truncates each
+        # host to N rows map-side before even that.
+        if cfg.domain_cap_n is not None:
+            from .operators.webnorm import domain_cap
+
+            if "url" not in documents.columns:
+                raise ValueError(
+                    "domain_cap_n requires a 'url' column in the source "
+                    "(the cap is keyed on the url's host)"
+                )
+            docs_for_cap = documents
+            cap_n = int(cfg.domain_cap_n)
+
+            def s_domain_cap():
+                return domain_cap(docs_for_cap.select("doc_id", "url"),
+                                  cap=cap_n)
+
+            dc = self._stage("domain_cap", s_domain_cap,
+                             meta={"gate": "domain-cap-md5-v1", "cap": cap_n})
+            out["domain_cap"] = dc
+            documents = documents.join(
+                dc.select("doc_id"), "doc_id", "left_semi"
+            )
+        if until == "domain_cap":
+            if cfg.domain_cap_n is None:
+                raise ValueError(
+                    "run(until='domain_cap') requires cfg.domain_cap_n "
+                    "(the per-domain cap is opt-in)"
+                )
+            _join_check()
+            self.flush_metrics()
+            return out
+
         filter_opts_eff: dict = {}
         if cfg.enable_filter:
             # curation gate: the decision table is a first-class output;
@@ -752,6 +795,9 @@ class NearDupPipeline:
                 meta={**signature_meta(d),
                       **({"url_gate": {"gate": "url-canonical-v1"}}
                          if cfg.enable_url_dedup else {}),
+                      **({"domain_cap_gate": {"gate": "domain-cap-md5-v1",
+                                              "cap": int(cfg.domain_cap_n)}}
+                         if cfg.domain_cap_n is not None else {}),
                       **({"input_gate": {"gate": "corpus_filter-v1",
                                          **filter_opts_eff}}
                          if cfg.enable_filter else {}),

@@ -702,6 +702,52 @@ class TestUrlDedupGate:
             pipe.run(docs=src, until="url_dedup")
 
 
+class TestDomainCapGate:
+    """Opt-in per-domain cap after the URL collapse (domain_cap_n)."""
+
+    def test_cap_binds_and_downstream_sees_capped_set(self, spark, corpus_dir,
+                                                      tmp_path_factory):
+        import duckdb
+
+        # pick a cap below the hottest zipf site's doc count so it binds
+        hot = duckdb.sql(
+            f"SELECT count(*) FROM '{corpus_dir}/documents.parquet' "
+            "GROUP BY regexp_extract(url, '://([^/]*)', 1) "
+            "ORDER BY 1 DESC LIMIT 1"
+        ).fetchone()[0]
+        assert hot > 5  # fixture premise: zipf makes a hot site
+        work = str(tmp_path_factory.mktemp("work_domcap"))
+        pipe = NearDupPipeline(spark, PipelineConfig(
+            workdir=work, domain_cap_n=5))
+        out = pipe.run(input_path=corpus_dir, until="clusters")
+        dc = out["domain_cap"]
+        kept = {r["doc_id"] for r in dc.select("doc_id").collect()}
+        assert len(kept) < N_DOCS  # the cap actually bound
+        per_host = {r["host"]: r["n"] for r in
+                    dc.groupBy("host").agg(F.count("*").alias("n")).collect()}
+        assert max(per_host.values()) <= 5
+        clustered = {r["doc_id"] for r in out["clusters"].select("doc_id").collect()}
+        assert clustered == kept
+
+    def test_recap_fails_resume_loudly(self, spark, corpus_dir,
+                                       tmp_path_factory):
+        work = str(tmp_path_factory.mktemp("work_recap"))
+        NearDupPipeline(spark, PipelineConfig(
+            workdir=work, domain_cap_n=5)).run(
+                input_path=corpus_dir, until="signatures")
+        # different cap on the same workdir: stamped meta must refuse
+        with pytest.raises(RuntimeError, match="incompatible configuration"):
+            NearDupPipeline(spark, PipelineConfig(
+                workdir=work, domain_cap_n=7)).run(
+                    input_path=corpus_dir, until="signatures")
+
+    def test_until_requires_gate(self, spark, corpus_dir, tmp_path_factory):
+        work = str(tmp_path_factory.mktemp("work_nocap"))
+        pipe = NearDupPipeline(spark, PipelineConfig(workdir=work))
+        with pytest.raises(ValueError, match="domain_cap_n"):
+            pipe.run(input_path=corpus_dir, until="domain_cap")
+
+
 class TestShortDocTier:
     """Tier-2 short-doc banding (DedupConfig.short_doc_max_bytes): the
     32x4 envelope catches a J~0.4 pair only ~50% of the time, which is
