@@ -336,6 +336,28 @@ def q_domain_cap(spark, sf_dir):
     return domain_cap(urls, cap=10).orderBy("host", "domain_rank", "doc_id")
 
 
+def q_line_dedup(spark, sf_dir):
+    """Line-level boilerplate removal (RefinedWeb/CCNet): a nav header +
+    footer line planted on every doc and a promo line on every 3rd must
+    vanish corpus-wide; each doc's unique middle line survives. Oracle:
+    the same distinct-line count + correlated list_filter reassembly in
+    DuckDB (md5 hex is engine-identical); cleaned_text byte-compared."""
+    from frizbee_spark.operators.textstats import line_dedup
+
+    d = _docs(spark, sf_dir)
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("NAV site menu\n"),
+            F.substring(F.col("text"), 1, 50),
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.lit("\nSHARED PROMO LINE")).otherwise(F.lit("")),
+            F.lit("\nFOOTER contact us"),
+        ).alias("text"),
+    )
+    return line_dedup(planted, min_docs=2).orderBy("doc_id")
+
+
 def q_minhash_jaccard_est(spark, sf_dir):
     """OPH slot-agreement Jaccard estimates for the LSH candidate pairs —
     signature-only similarity triage (no text read). Oracle: the pure-SQL
@@ -919,6 +941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "domain_stats": q_domain_stats,
         "domain_cap": q_domain_cap,
+        "line_dedup": q_line_dedup,
         "minhash_jaccard_est": q_minhash_jaccard_est,
         "token_stats": q_token_stats,
         "bpe_token_stats": q_bpe_token_stats,
@@ -1325,6 +1348,47 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN host = '' THEN 1 ELSE rn END AS domain_rank
             FROM ranked WHERE host = '' OR rn <= 10
             ORDER BY host, domain_rank, doc_id
+        """,
+        "line_dedup": r"""
+            WITH planted AS (
+                SELECT doc_id,
+                       'NAV site menu' || chr(10) || substring(text, 1, 50)
+                       || CASE WHEN doc_id % 3 = 0
+                               THEN chr(10) || 'SHARED PROMO LINE'
+                               ELSE '' END
+                       || chr(10) || 'FOOTER contact us' AS text
+                FROM documents
+            ),
+            ls AS (
+                SELECT doc_id, string_split(text, chr(10)) AS ln
+                FROM planted
+            ),
+            ch AS (
+                SELECT DISTINCT doc_id, md5(l) AS h
+                FROM ls, UNNEST(list_filter(ln, x -> trim(x) <> '')) AS t(l)
+            ),
+            boiler AS (
+                SELECT h FROM ch GROUP BY h HAVING count(*) >= 2
+            ),
+            rmv AS (
+                SELECT doc_id, list(h) AS rs
+                FROM ch JOIN boiler USING (h) GROUP BY doc_id
+            ),
+            outv AS (
+                SELECT l.doc_id, ln,
+                       list_filter(ln, x -> trim(x) = ''
+                           OR NOT list_contains(coalesce(rs, []), md5(x)))
+                           AS kept
+                FROM ls l LEFT JOIN rmv r ON l.doc_id = r.doc_id
+            )
+            SELECT doc_id,
+                   CAST(len(ln) AS BIGINT) AS n_lines,
+                   CAST(len(list_filter(ln, x -> trim(x) <> ''))
+                        - len(list_filter(kept, x -> trim(x) <> ''))
+                        AS BIGINT) AS n_removed,
+                   coalesce(array_to_string(kept, chr(10)), '')
+                       AS cleaned_text
+            FROM outv ORDER BY doc_id
         """,
         "minhash_jaccard_est": _sql_oracles().minhash_jaccard_estimate_sql(
             _dedup_cfg()),

@@ -198,6 +198,7 @@ def main() -> None:
             "fuzzy_join", "shingle_containment_pairs",
             "candidate_tiers", "curation_rollup", "dedup_rewrite",
             "url_dedup", "pii_scrub", "domain_stats", "domain_cap",
+            "line_dedup",
         ):
             fn = E.queries()[name]
             t0 = time.monotonic()

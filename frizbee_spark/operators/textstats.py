@@ -308,6 +308,72 @@ def dedup_rewrite(
     )
 
 
+def line_dedup(
+    df: DataFrame,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Line-level boilerplate removal (RefinedWeb / CCNet convention):
+    any line whose exact text appears in >= ``min_docs`` DISTINCT
+    documents is template boilerplate (nav bars, footers, cookie
+    banners) and is dropped from EVERY document — unlike
+    :func:`dedup_rewrite`'s keep-first rule, boilerplate has no
+    "first occurrence worth keeping". Whitespace-only lines are never
+    counted and never removed (they are formatting, not content, and
+    they trivially co-occur everywhere).
+
+    Plan shape (one text shuffle, mirroring :func:`dedup_rewrite`):
+      1. per-doc line-md5 arrays — text stays in its row;
+      2. explode distinct (doc_id, line_md5) — countDistinct(doc) per
+         line becomes a plain count after the in-row array_distinct, so
+         the aggregate is single-phase with map-side combine;
+      3. boilerplate table = hashes with count >= min_docs (tiny at web
+         scale relative to the corpus — AQE broadcasts it);
+      4. per-doc removal sets joined back on doc_id (the only exchange
+         carrying text) and applied with a codegen'd filter lambda;
+         lines are re-joined with a single newline.
+
+    Output, one row per input doc: (doc_id, n_lines, n_removed,
+    cleaned_text).
+    """
+    if min_docs < 2:
+        raise ValueError(f"line_dedup needs min_docs >= 2, got {min_docs}")
+    lines = F.split(F.col(text_col), "\n")
+    is_content = lambda ln: F.trim(ln) != ""  # noqa: E731
+    content_md5s = F.array_distinct(
+        F.transform(F.filter(lines, is_content), F.md5))
+    ch = df.select(F.col(id_col).alias("doc_id"),
+                   F.explode(content_md5s).alias("line_md5"))
+    boiler = (
+        ch.groupBy("line_md5")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+    removed = (
+        ch.join(boiler, "line_md5")
+        .groupBy("doc_id")
+        .agg(F.collect_set("line_md5").alias("rmv"))
+    )
+    base = df.select(F.col(id_col).alias("doc_id"), lines.alias("_ls"))
+    rmv = F.coalesce(F.col("rmv"), F.array().cast("array<string>"))
+    kept = F.filter(
+        F.col("_ls"),
+        lambda ln: (F.trim(ln) == "") | ~F.array_contains(rmv, F.md5(ln)),
+    )
+    n_content = F.size(F.filter(F.col("_ls"), is_content))
+    n_kept_content = F.size(F.filter(kept, is_content))
+    return (
+        base.join(removed, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("_ls").cast("long").alias("n_lines"),
+            (n_content - n_kept_content).cast("long").alias("n_removed"),
+            F.concat_ws("\n", kept).alias("cleaned_text"),
+        )
+    )
+
+
 def repetition_stats(
     df: DataFrame,
     id_col: str = "doc_id",

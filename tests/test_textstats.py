@@ -227,6 +227,53 @@ class TestTextStats:
         assert got[1]["cleaned_text"] == "a b c d" and got[1]["n_removed"] == 1
         assert got[2]["cleaned_text"] == "e f" and got[2]["n_removed"] == 2
 
+    def test_line_dedup_boilerplate_removed_everywhere(self, spark):
+        from frizbee_spark.operators.textstats import line_dedup
+
+        rows = [
+            (1, "NAV BAR\nunique one\n\nFOOTER 2020"),
+            (2, "NAV BAR\nunique two\nFOOTER 2020"),
+            (3, "all original\nnothing shared"),
+            (4, "NAV BAR"),           # whole doc is boilerplate
+            (5, "   \n\n"),           # whitespace-only lines survive
+        ]
+        got = {r["doc_id"]: r for r in line_dedup(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            min_docs=2).collect()}
+        # boilerplate dies EVERYWHERE (no keep-first), blank line kept
+        assert got[1]["cleaned_text"] == "unique one\n"
+        assert got[1]["n_removed"] == 2 and got[1]["n_lines"] == 4
+        assert got[2]["cleaned_text"] == "unique two"
+        assert got[3]["n_removed"] == 0
+        assert got[4]["cleaned_text"] == "" and got[4]["n_removed"] == 1
+        assert got[5]["cleaned_text"] == "   \n\n" and got[5]["n_removed"] == 0
+
+    def test_line_dedup_intra_doc_repeat_not_boilerplate(self, spark):
+        from frizbee_spark.operators.textstats import line_dedup
+
+        # a line repeated WITHIN one doc only is not boilerplate
+        # (min_docs counts distinct docs); raising min_docs spares a
+        # 2-doc line
+        rows = [(1, "echo\necho\nmine"), (2, "pair\nx"), (3, "pair\ny")]
+        got = {r["doc_id"]: r for r in line_dedup(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            min_docs=2).collect()}
+        assert got[1]["cleaned_text"] == "echo\necho\nmine"
+        assert got[2]["cleaned_text"] == "x"
+        got3 = {r["doc_id"]: r for r in line_dedup(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            min_docs=3).collect()}
+        assert got3[2]["cleaned_text"] == "pair\nx"
+
+    def test_line_dedup_validates_min_docs(self, spark):
+        import pytest as _pytest
+
+        from frizbee_spark.operators.textstats import line_dedup
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with _pytest.raises(ValueError, match="min_docs >= 2"):
+            line_dedup(df, min_docs=1)
+
     def test_dedup_rewrite_total_mass_conserved(self, spark):
         from frizbee_spark.operators.textstats import dedup_rewrite, dup_chunks
 
