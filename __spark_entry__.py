@@ -724,6 +724,21 @@ def q_embedding_near_dups(spark, sf_dir):
     ).orderBy("a", "b")
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic pruning at the fixture's actual cosine
+    scale (threshold 0.45 — the same edge set as embedding_near_dups, so
+    the dense n_planes=4/n_tables=32 config routes to the exact blocked
+    Gram kernel and the candidate set matches the oracle by
+    construction). Oracle = brute-force cosine edges + recursive-CTE
+    connected components + min-id representative, mirroring the
+    near_dup_clusters oracle shape on the embeddings table."""
+    from frizbee_spark.operators.similarity import semantic_dedup
+
+    return semantic_dedup(
+        _emb(spark, sf_dir), threshold=0.45, n_planes=4, n_tables=32
+    ).orderBy("vec_id")
+
+
 def q_media_stats(spark, sf_dir):
     """Byte-level media stats over the docs' utf-8 payloads. The compared
     columns (size, Shannon entropy) are DuckDB-expressible; the operator's
@@ -961,6 +976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ivf_topk": q_ivf_topk,
         "embedding_near_dups": q_embedding_near_dups,
+        "semantic_dedup": q_semantic_dedup,
         "media_stats": q_media_stats,
         "media_decode": q_media_decode,
         "greedy_match": q_greedy_match,
@@ -1720,6 +1736,31 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
             WHERE round(list_cosine_similarity(
                       x.embedding::DOUBLE[], y.embedding::DOUBLE[]), 4) >= 0.45
+        """,
+        "semantic_dedup": """
+            WITH RECURSIVE edges AS (
+                SELECT x.vec_id AS a, y.vec_id AS b
+                FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+                WHERE round(list_cosine_similarity(
+                          x.embedding::DOUBLE[], y.embedding::DOUBLE[]),
+                          4) >= 0.45
+            ),
+            bidir AS (
+                SELECT a AS u, b AS v FROM edges
+                UNION SELECT b AS u, a AS v FROM edges
+            ),
+            reach(u, v) AS (
+                SELECT vec_id, vec_id FROM embeddings
+                UNION
+                SELECT r.u, d.v FROM reach r JOIN bidir d ON r.v = d.u
+            ),
+            clusters AS (
+                SELECT u AS vec_id, min(v) AS cluster_id FROM reach GROUP BY u
+            )
+            SELECT vec_id, cluster_id,
+                   count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+                   vec_id = cluster_id AS keep
+            FROM clusters
         """,
         "media_stats": """
             WITH n AS (

@@ -191,7 +191,7 @@ def main() -> None:
             "quality_score", "embedding_topk", "ann_topk", "ivf_topk",
             "fuzzy_match",
             "greedy_match", "canonical_docs", "media_stats",
-            "embedding_near_dups", "winnow_span_pairs",
+            "embedding_near_dups", "semantic_dedup", "winnow_span_pairs",
             "ngram_contamination", "dup_chunks", "minhash_jaccard_est",
             "corpus_filter", "tfidf_topterms", "lm_perplexity",
             "stratified_sample", "user_sessions", "event_rates",

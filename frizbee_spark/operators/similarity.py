@@ -556,3 +556,61 @@ def embedding_near_dup_pairs(
         .select("a", "b", F.round(_cosine_expr("va", "vb"), 4).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    n_tables: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket: int = 4096,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): prune documents whose EMBEDDINGS are near-identical
+    even when their text is not — the model-space complement of the
+    MinHash/SimHash text cascade. Re-expressed Spark-first as a
+    composition of existing distributed primitives rather than the
+    paper's per-cluster in-memory loop:
+
+      near-dup pairs (cosine >= threshold, via the cost-routed
+      LSH / blocked-Gram kernel of :func:`embedding_near_dup_pairs`)
+        -> connected components (large/small-star or the cost-gated
+           driver route, :func:`~..operators.components.assign_clusters`)
+        -> one deterministic representative per semantic cluster.
+
+    The representative rule is min-id (``keep`` = vec_id equals its
+    cluster id, which IS the component minimum): deterministic,
+    engine-independent, and resume-stable. SemDeDup's
+    "farthest-from-centroid" pick optimizes diversity but depends on
+    k-means state; callers wanting it can join this output back to the
+    embeddings and re-pick per cluster_id — the cluster structure, which
+    is the expensive distributed part, is identical.
+
+    Output: (vec_id, cluster_id, cluster_size, keep). Rows with
+    ``keep = false`` are the semantic duplicates to drop; singletons keep
+    themselves (cluster_size 1). Plan shape beyond the pair kernel: one
+    exchange on cluster_id serves both the window count and the keep
+    flag; the text/bytes never enter the plan.
+    """
+    from .components import assign_clusters
+
+    pairs = embedding_near_dup_pairs(
+        embeddings,
+        threshold=threshold,
+        n_planes=n_planes,
+        n_tables=n_tables,
+        id_col=id_col,
+        vec_col=vec_col,
+        max_bucket=max_bucket,
+    )
+    ids = embeddings.select(F.col(id_col).alias("vec_id"))
+    clus = assign_clusters(ids, pairs.select("a", "b"), id_col="vec_id")
+    w = Window.partitionBy("cluster_id")
+    return clus.select(
+        "vec_id",
+        "cluster_id",
+        F.count("*").over(w).alias("cluster_size"),
+        (F.col("vec_id") == F.col("cluster_id")).alias("keep"),
+    )

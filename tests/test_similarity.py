@@ -260,3 +260,75 @@ class TestDriverAnnClustered:
         got = sorted(map(tuple, E.q_ivf_topk(spark, sf_dir).collect()))
         release_tracked()
         assert got == exact
+
+
+@pytest.mark.spark
+class TestSemanticDedup:
+    """semantic_dedup = near-dup graph -> CC -> min-id representative.
+    Reference: NumPy all-pairs cosine + union-find, same rounding rule."""
+
+    def _reference(self, vecs, threshold):
+        M = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        C = M @ M.T
+        C = np.sign(C) * np.floor(np.abs(C) * 1e4 + 0.5) / 1e4  # HALF_UP, 4dp
+        parent = list(range(len(vecs)))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        a_idx, b_idx = np.nonzero(np.triu(C >= threshold, k=1))
+        for a, b in zip(a_idx, b_idx):
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {i: find(i) for i in range(len(vecs))}
+
+    def test_matches_union_find_reference(self, spark, emb):
+        from frizbee_spark.operators.similarity import semantic_dedup
+        from frizbee_spark.util import release_tracked
+
+        vecs, _ = _clustered_vectors()
+        want = self._reference(vecs, 0.9)
+        sizes = {}
+        for r in want.values():
+            sizes[r] = sizes.get(r, 0) + 1
+        # dense LSH config -> exact blocked-Gram route, so the graph is
+        # exactly the reference's (no LSH recall question in this test)
+        got = semantic_dedup(emb, threshold=0.9, n_planes=4,
+                             n_tables=32).collect()
+        release_tracked()
+        assert len(got) == len(vecs)  # partition of all ids
+        for row in got:
+            assert row.cluster_id == want[row.vec_id]
+            assert row.cluster_size == sizes[want[row.vec_id]]
+            assert row.keep == (row.vec_id == want[row.vec_id])
+
+    def test_keep_is_one_per_cluster_and_min_id(self, spark, emb):
+        from frizbee_spark.operators.similarity import semantic_dedup
+        from frizbee_spark.util import release_tracked
+
+        rows = semantic_dedup(emb, threshold=0.9, n_planes=4,
+                              n_tables=32).collect()
+        release_tracked()
+        by_cluster = {}
+        for r in rows:
+            by_cluster.setdefault(r.cluster_id, []).append(r)
+        for cid, members in by_cluster.items():
+            kept = [r.vec_id for r in members if r.keep]
+            assert kept == [min(r.vec_id for r in members)] == [cid]
+
+    def test_orthogonal_vectors_all_singletons(self, spark):
+        from frizbee_spark.operators.similarity import semantic_dedup
+        from frizbee_spark.util import release_tracked
+
+        eye = np.eye(8)
+        rows = [(i, [float(x) for x in eye[i]]) for i in range(8)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        got = semantic_dedup(df, threshold=0.5, n_planes=4,
+                             n_tables=32).collect()
+        release_tracked()
+        assert sorted((r.vec_id, r.cluster_id, r.cluster_size, r.keep)
+                      for r in got) == [(i, i, 1, True) for i in range(8)]
