@@ -185,6 +185,12 @@ def q_cluster_stats(spark, sf_dir):
 
 CONTAM_K = 8          # decontamination gram width (tokens)
 CONTAM_BENCH_MOD = 10  # benchmark set = doc_id % 10 == 0
+BLOOM_M = 1 << 20      # bloom_decontaminate bitmap bits
+BLOOM_HASHES = 5       # bloom_decontaminate hash functions
+# non-NFC content planted on even doc_ids for normalize_unicode: NFD
+# e+combining-acute, U+212B ANGSTROM SIGN, A+combining-ring — all
+# canonically equal to precomposed forms but byte-different
+UNICODE_PLANT = " cafe\u0301 \u212b A\u030aB"
 
 
 def q_ngram_contamination(spark, sf_dir):
@@ -198,6 +204,24 @@ def q_ngram_contamination(spark, sf_dir):
     bench = docs.filter(F.col("doc_id") % CONTAM_BENCH_MOD == 0)
     corpus = docs.filter(F.col("doc_id") % CONTAM_BENCH_MOD != 0)
     return ngram_contamination(corpus, bench, k=CONTAM_K).orderBy("doc_id")
+
+
+def q_bloom_decontaminate(spark, sf_dir):
+    """Decontamination through a REAL Bloom filter (same bench/corpus
+    split and gram width as ngram_contamination, m = 2^20 bits / 5
+    hashes): positions are the portable md5->integer idiom, so the
+    oracle recomputes the identical bitmap membership — the hash check
+    covers true Bloom semantics, false positives included (at this fill
+    factor the fixture outcome happens to be FP-free, which the
+    tiny-m pytest complements by forcing FPs)."""
+    from frizbee_spark.operators.textstats import bloom_decontaminate
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % CONTAM_BENCH_MOD == 0)
+    corpus = docs.filter(F.col("doc_id") % CONTAM_BENCH_MOD != 0)
+    return bloom_decontaminate(
+        corpus, bench, k=CONTAM_K, m_bits=BLOOM_M, n_hashes=BLOOM_HASHES
+    ).orderBy("doc_id")
 
 
 def q_dup_chunks(spark, sf_dir):
@@ -311,6 +335,25 @@ _SYNTH_HOSTED_URLS_SQL = """
 _HOST_SQL = """lower(regexp_extract(url,
                  '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\\?[^#]*)?(#.*)?$',
                  2))"""
+
+
+def q_normalize_unicode(spark, sf_dir):
+    """Unicode NFC normalization over the docs table with deterministic
+    non-NFC content planted on even doc_ids (the fixture itself is
+    ASCII, which would make the pass a no-op): combining sequences and
+    the ANGSTROM SIGN singleton all rewrite to precomposed NFC, odd
+    docs pass through with changed=false. The kernel is pyarrow's C++
+    utf8_normalize; the oracle is DuckDB's independent nfc_normalize —
+    two implementations of Unicode NFC hash-compared byte-for-byte."""
+    from frizbee_spark.operators.webnorm import normalize_unicode
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0,
+               F.concat(F.col("text"), F.lit(UNICODE_PLANT)))
+        .otherwise(F.col("text")).alias("text"),
+    )
+    return normalize_unicode(docs).orderBy("doc_id")
 
 
 def q_domain_stats(spark, sf_dir):
@@ -950,10 +993,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_docs": q_canonical_docs,
         "cluster_stats": q_cluster_stats,
         "ngram_contamination": q_ngram_contamination,
+        "bloom_decontaminate": q_bloom_decontaminate,
         "dup_chunks": q_dup_chunks,
         "dedup_rewrite": q_dedup_rewrite,
         "url_dedup": q_url_dedup,
         "pii_scrub": q_pii_scrub,
+        "normalize_unicode": q_normalize_unicode,
         "domain_stats": q_domain_stats,
         "domain_cap": q_domain_cap,
         "line_dedup": q_line_dedup,
@@ -1176,6 +1221,48 @@ def oracle_sql() -> dict[str, str]:
                        AS contamination_ratio
             FROM perdoc WHERE n_contaminated_grams > 0
         """,
+        # true Bloom semantics re-derived: identical md5 positions,
+        # set-bit membership == bitmap lookup by construction — any FP
+        # the Spark bitmap produces, this produces too
+        "bloom_decontaminate": f"""
+            WITH toks AS (
+                SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+            ),
+            g AS (
+                SELECT DISTINCT doc_id,
+                       concat_ws(' ', {", ".join(f"w[i+{j}]" for j in range(CONTAM_K))}) AS gr
+                FROM toks,
+                     unnest(generate_series(1, greatest(len(w) - {CONTAM_K - 1}, 1))) AS t(i)
+            ),
+            bits AS (
+                SELECT DISTINCT
+                       (('0x' || substr(md5('bloom' || j::VARCHAR || ':' || gr),
+                                        1, 15))::UBIGINT)::BIGINT
+                           % {BLOOM_M} AS pos
+                FROM (SELECT DISTINCT gr FROM g
+                      WHERE doc_id % {CONTAM_BENCH_MOD} = 0),
+                     range({BLOOM_HASHES}) t(j)
+            ),
+            probe AS (
+                SELECT g.doc_id, g.gr,
+                       bool_and(
+                           (('0x' || substr(md5('bloom' || j::VARCHAR || ':'
+                                                || g.gr), 1, 15))::UBIGINT)::BIGINT
+                               % {BLOOM_M} IN (SELECT pos FROM bits)
+                       ) AS hit
+                FROM g, range({BLOOM_HASHES}) t(j)
+                WHERE g.doc_id % {CONTAM_BENCH_MOD} != 0
+                GROUP BY g.doc_id, g.gr
+            ),
+            perdoc AS (
+                SELECT doc_id, count(*) AS n_grams,
+                       sum(hit::INT)::BIGINT AS n_flagged_grams
+                FROM probe GROUP BY 1
+            )
+            SELECT doc_id, n_grams, n_flagged_grams,
+                   round(n_flagged_grams * 1.0 / n_grams, 4) AS flagged_ratio
+            FROM perdoc WHERE n_flagged_grams > 0
+        """,
         "dup_chunks": """
             WITH toks AS (
                 SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
@@ -1291,6 +1378,22 @@ def oracle_sql() -> dict[str, str]:
                    min(url) AS rep_url,
                    min(doc_id) AS rep_id
             FROM canon GROUP BY canonical_url ORDER BY canonical_url
+        """,
+        # DuckDB's nfc_normalize is an INDEPENDENT NFC implementation
+        # from the pyarrow kernel the operator uses — the hash compare
+        # cross-checks two Unicode libraries byte-for-byte
+        "normalize_unicode": f"""
+            WITH p AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 2 = 0
+                            THEN text || '{UNICODE_PLANT}'
+                            ELSE text END AS t
+                FROM documents
+            )
+            SELECT doc_id,
+                   nfc_normalize(t) AS norm_text,
+                   nfc_normalize(t) != t AS changed
+            FROM p
         """,
         "pii_scrub": r"""
             WITH planted AS (

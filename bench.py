@@ -192,12 +192,14 @@ def main() -> None:
             "fuzzy_match",
             "greedy_match", "canonical_docs", "media_stats",
             "embedding_near_dups", "semantic_dedup", "winnow_span_pairs",
-            "ngram_contamination", "dup_chunks", "minhash_jaccard_est",
+            "ngram_contamination", "bloom_decontaminate", "dup_chunks",
+            "minhash_jaccard_est",
             "corpus_filter", "tfidf_topterms", "lm_perplexity",
             "stratified_sample", "user_sessions", "event_rates",
             "fuzzy_join", "shingle_containment_pairs",
             "candidate_tiers", "curation_rollup", "dedup_rewrite",
-            "url_dedup", "pii_scrub", "domain_stats", "domain_cap",
+            "url_dedup", "pii_scrub", "normalize_unicode",
+            "domain_stats", "domain_cap",
             "line_dedup",
         ):
             fn = E.queries()[name]

@@ -174,6 +174,125 @@ def ngram_contamination(
     )
 
 
+def _bloom_pos(gram_col, i: int, m_bits: int):
+    """Bit position i of a gram: md5-derived, engine-identical (same
+    idiom as :func:`hash_split` — DuckDB re-derives it exactly, so even
+    Bloom FALSE POSITIVES are oracle-reproducible). 15 hex chars < 2^60,
+    so the conv result is a non-negative bigint under ANSI mode."""
+    return (
+        F.conv(F.substring(
+            F.md5(F.concat(F.lit(f"bloom{i}:"), gram_col)), 1, 15), 16, 10)
+        .cast("long") % m_bits
+    )
+
+
+def bloom_decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    k: int = 8,
+    m_bits: int = 1 << 20,
+    n_hashes: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination through a REAL Bloom filter — the
+    at-scale replacement for :func:`ngram_contamination`'s broadcast
+    gram join. The exact join must broadcast the benchmark's distinct
+    gram STRINGS (an eval suite of 10M 8-token grams is ~0.5 GB on every
+    executor); the Bloom filter is ``m_bits`` bits NO MATTER how many
+    grams the eval set has, at a quantified false-positive cost of
+    ``(1 - e^(-n_hashes * n_grams / m_bits))^n_hashes`` per probed gram
+    (size m at 10-20 bits/gram: ~0.5-0.02% FP). FPs only ever
+    OVER-flag — decontamination drops a few extra docs, never leaks an
+    eval gram through.
+
+    Build (benchmark side): explode grams -> n_hashes md5-derived bit
+    positions each -> DISTINCT -> one driver collect bounded by m_bits
+    positions (8 MB of longs at the 2^20 default — an O(m) driver path
+    by construction, same discipline as IVF training), packed into
+    m_bits/64 int64 words.
+
+    Probe (corpus side): the word array rides the plan as ONE array
+    literal; each gram computes its n_hashes positions and tests
+    ``(words[pos >> 6] >> (pos & 63)) & 1`` — pure codegen'd longs,
+    ZERO joins, zero corpus-side shuffle except the final map-side-
+    combined per-doc aggregate. At 10^12 docs this runs at parquet-scan
+    speed; keep ``m_bits`` at the default 2^20 unless the eval set
+    demands more (the literal ships once per task closure, 128 KB
+    there).
+
+    Hashing is the repo's portable md5->integer idiom, so the DuckDB
+    oracle recomputes the identical positions and set-bit membership:
+    the contract hash-checks the true Bloom semantics, false positives
+    included.
+
+    Output: one row per FLAGGED doc —
+    (doc_id, n_grams, n_flagged_grams, flagged_ratio). With an FP-free
+    configuration this equals :func:`ngram_contamination`'s output
+    modulo column names (pytest-pinned); under load the extra rows are
+    exactly the arithmetic FPs.
+    """
+    if m_bits <= 0 or m_bits % 64:
+        raise ValueError(f"m_bits must be a positive multiple of 64, got {m_bits}")
+    if n_hashes <= 0:
+        raise ValueError(f"n_hashes must be positive, got {n_hashes}")
+
+    import numpy as np
+
+    bench_grams = (
+        benchmark.select(F.explode(_kgram_col(text_col, k)).alias("gr")).distinct()
+    )
+    pos_rows = (
+        bench_grams.select(
+            F.explode(F.array(*[
+                _bloom_pos(F.col("gr"), i, m_bits) for i in range(n_hashes)
+            ])).alias("pos")
+        )
+        .distinct()
+        .collect()
+    )
+    words = np.zeros(m_bits // 64, dtype=np.uint64)
+    if pos_rows:
+        pos = np.fromiter((r.pos for r in pos_rows), dtype=np.int64,
+                          count=len(pos_rows))
+        np.bitwise_or.at(words, pos >> 6,
+                         np.uint64(1) << (pos.astype(np.uint64) & np.uint64(63)))
+    bitmap = F.lit(words.view(np.int64).tolist())
+
+    def bit_set(pos_expr):
+        # arithmetic shift on a negative word still yields the right low
+        # bit for every index — only bit `pos & 63` survives the mask.
+        # call_function: the SQL shiftright takes a COLUMN shift amount
+        # (the PySpark wrapper only accepts a literal int)
+        word = F.element_at(
+            bitmap, (F.call_function("shiftright", pos_expr, F.lit(6)) + 1)
+            .cast("int"))
+        # & 1, NOT % 2: Spark's % keeps the dividend's sign, so a
+        # negative shifted word would test -1 == 1 and silently drop bits
+        return (
+            F.call_function("shiftright", word,
+                            F.pmod(pos_expr, 64).cast("int"))
+            .bitwiseAND(F.lit(1)) == 1
+        )
+
+    gram_hit = F.lit(True)
+    for i in range(n_hashes):
+        gram_hit = gram_hit & bit_set(_bloom_pos(F.col("gr"), i, m_bits))
+    per_doc = (
+        df.select(F.col(id_col).alias("doc_id"),
+                  F.explode(_kgram_col(text_col, k)).alias("gr"))
+        .select("doc_id", gram_hit.cast("int").alias("_hit"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_grams"),
+             F.sum("_hit").alias("n_flagged_grams"))
+    )
+    return (
+        per_doc.filter(F.col("n_flagged_grams") > 0)
+        .withColumn("flagged_ratio",
+                    F.round(F.col("n_flagged_grams") / F.col("n_grams"), 4))
+    )
+
+
 def _chunk_md5_array(toks, chunk_tokens: int):
     """(n_chunks expr, array<string> expr of per-chunk md5 hashes) for
     non-overlapping ``chunk_tokens``-token windows over a token array.

@@ -629,3 +629,77 @@ class TestCurationRollup:
                        + r["n_repetitive_unigram"] + r["n_no_lang_signal"])
             assert r["n_kept"] + dropped == r["n_docs"]
             assert r["sum_chars"] > 0 and r["sum_tokens"] > 0
+
+
+@pytest.mark.spark
+class TestBloomDecontaminate:
+    """Real-bitmap Bloom decontamination: FP-free config must equal the
+    exact broadcast-join operator; a saturated bitmap must over-flag
+    (never under-flag) — the defining Bloom asymmetry."""
+
+    @pytest.fixture(scope="class")
+    def split(self, spark):
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        bench = docs.filter(F.col("doc_id") % 10 == 0)
+        corpus = docs.filter(F.col("doc_id") % 10 != 0)
+        return bench, corpus
+
+    def test_fp_free_config_equals_exact_join(self, split):
+        from frizbee_spark.operators.textstats import (
+            bloom_decontaminate,
+            ngram_contamination,
+        )
+
+        bench, corpus = split
+        exact = {(r.doc_id, r.n_grams, r.n_contaminated_grams)
+                 for r in ngram_contamination(corpus, bench, k=8).collect()}
+        bloom = {(r.doc_id, r.n_grams, r.n_flagged_grams)
+                 for r in bloom_decontaminate(
+                     corpus, bench, k=8, m_bits=1 << 20, n_hashes=5).collect()}
+        assert exact  # fixture plants contamination
+        assert bloom == exact
+
+    def test_saturated_bitmap_overflags_never_underflags(self, split):
+        from frizbee_spark.operators.textstats import (
+            bloom_decontaminate,
+            ngram_contamination,
+        )
+
+        bench, corpus = split
+        exact = {r.doc_id: r.n_contaminated_grams
+                 for r in ngram_contamination(corpus, bench, k=8).collect()}
+        small = {r.doc_id: r.n_flagged_grams
+                 for r in bloom_decontaminate(
+                     corpus, bench, k=8, m_bits=1024, n_hashes=2).collect()}
+        # every truly contaminated gram still hits (no false negatives)
+        assert set(exact) <= set(small)
+        assert all(small[d] >= exact[d] for d in exact)
+        # and the tiny bitmap demonstrably produces false positives —
+        # this is a real Bloom filter, not the join in disguise
+        assert len(small) > len(exact)
+
+    def test_empty_benchmark_flags_nothing(self, spark, split):
+        from frizbee_spark.operators.textstats import bloom_decontaminate
+
+        _, corpus = split
+        empty = spark.createDataFrame([], "doc_id long, text string")
+        assert bloom_decontaminate(corpus, empty, k=8).count() == 0
+
+    def test_deterministic(self, split):
+        from frizbee_spark.operators.textstats import bloom_decontaminate
+
+        bench, corpus = split
+        a = sorted(map(tuple, bloom_decontaminate(
+            corpus, bench, k=8, m_bits=1 << 16, n_hashes=3).collect()))
+        b = sorted(map(tuple, bloom_decontaminate(
+            corpus, bench, k=8, m_bits=1 << 16, n_hashes=3).collect()))
+        assert a == b
+
+    def test_validation(self, split):
+        from frizbee_spark.operators.textstats import bloom_decontaminate
+
+        bench, corpus = split
+        with pytest.raises(ValueError, match="m_bits"):
+            bloom_decontaminate(corpus, bench, m_bits=100)
+        with pytest.raises(ValueError, match="n_hashes"):
+            bloom_decontaminate(corpus, bench, n_hashes=0)

@@ -128,6 +128,87 @@ class TestDomainOps:
 
 
 @pytest.mark.spark
+class TestNormalizeUnicode:
+    def test_nfc_composes_canonical_sequences(self, spark):
+        from frizbee_spark.operators.webnorm import normalize_unicode
+
+        rows = [
+            (1, "cafe\u0301"),        # e + combining acute -> precomposed
+            (2, "\u212bngstr\u00f6m"),  # ANGSTROM SIGN singleton -> A-ring
+            (3, "A\u030a"),           # A + combining ring -> A-ring
+            (4, "plain ascii"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r for r in normalize_unicode(df).collect()}
+        assert got[1]["norm_text"] == "caf\u00e9" and got[1]["changed"]
+        assert got[2]["norm_text"] == "\u00c5ngstr\u00f6m" and got[2]["changed"]
+        assert got[3]["norm_text"] == "\u00c5" and got[3]["changed"]
+        assert got[4]["norm_text"] == "plain ascii" and not got[4]["changed"]
+
+    def test_already_nfc_unchanged(self, spark):
+        from frizbee_spark.operators.webnorm import normalize_unicode
+
+        df = spark.createDataFrame(
+            [(1, "caf\u00e9 \u00c5 na\u00efve")], "doc_id long, text string")
+        [r] = normalize_unicode(df).collect()
+        assert r["norm_text"] == "caf\u00e9 \u00c5 na\u00efve"
+        assert not r["changed"]
+
+    def test_other_forms(self, spark):
+        from frizbee_spark.operators.webnorm import normalize_unicode
+
+        df = spark.createDataFrame(
+            [(1, "\ufb01le \u2460")],  # LIGATURE FI + CIRCLED DIGIT ONE
+            "doc_id long, text string")
+        [nfkc] = normalize_unicode(df, form="NFKC").collect()
+        assert nfkc["norm_text"] == "file 1"
+        [nfd] = normalize_unicode(
+            spark.createDataFrame([(1, "caf\u00e9")],
+                                  "doc_id long, text string"),
+            form="NFD").collect()
+        assert nfd["norm_text"] == "cafe\u0301" and nfd["changed"]
+
+    def test_null_text_passes_through(self, spark):
+        from frizbee_spark.operators.webnorm import normalize_unicode
+
+        df = spark.createDataFrame([(1, None), (2, "x")],
+                                   "doc_id long, text string")
+        got = {r["doc_id"]: r for r in normalize_unicode(df).collect()}
+        assert got[1]["norm_text"] is None
+        assert got[2]["norm_text"] == "x"
+
+    def test_validates_form(self, spark):
+        from frizbee_spark.operators.webnorm import normalize_unicode
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="form"):
+            normalize_unicode(df, form="NFX")
+
+    def test_zero_shuffle_plan(self, spark):
+        from frizbee_spark.operators.webnorm import normalize_unicode
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        plan = normalize_unicode(df)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Exchange" not in plan
+
+    def test_pyarrow_utf8_normalize_still_broken(self):
+        # regression pin for the docstring's claim: pyarrow 16.1.0's
+        # utf8_normalize returns canonical DEcomposition for EVERY form
+        # (NFC never composes), which is why the kernel uses
+        # unicodedata.normalize instead. If an upgrade fixes this, the
+        # assert flips and we should switch back to the C++ kernel.
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        out = pc.utf8_normalize(pa.array(["\u00e9"]), form="NFC")[0].as_py()
+        assert out == "e\u0301", (
+            "pyarrow utf8_normalize now composes NFC correctly -- "
+            "switch normalize_unicode's kernel back to pyarrow"
+        )
+
+
+@pytest.mark.spark
 class TestPiiScrub:
     def test_counts_and_masks(self, spark):
         rows = [
