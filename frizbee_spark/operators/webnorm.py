@@ -236,6 +236,21 @@ def normalize_unicode(
     oracle: DuckDB ``nfc_normalize`` (NFC only — the other forms are
     pytest-covered).
     """
+    _norm = unicode_norm_udf(form)
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        _norm(t).alias("norm_text"),
+        (_norm(t) != t).alias("changed"),
+    )
+
+
+def unicode_norm_udf(form: str = "NFC"):
+    """The normalization kernel as a reusable column function (shared by
+    :func:`normalize_unicode` and the pipeline's opt-in ``unicode_nfc``
+    gate — one kernel, so the standalone operator and the pipeline stage
+    cannot drift). See :func:`normalize_unicode` for the design notes
+    (ASCII sieve + unicodedata, pyarrow breakage pin)."""
     if form not in ("NFC", "NFKC", "NFD", "NFKD"):
         raise ValueError(f"form must be NFC/NFKC/NFD/NFKD, got {form!r}")
     from pyspark.sql.functions import PandasUDFType, pandas_udf
@@ -264,9 +279,4 @@ def normalize_unicode(
             vals[i] = unicodedata.normalize(form, vals[i])
         return pd.Series(vals)
 
-    t = F.col(text_col)
-    return df.select(
-        F.col(id_col),
-        _norm(t).alias("norm_text"),
-        (_norm(t) != t).alias("changed"),
-    )
+    return _norm

@@ -103,6 +103,18 @@ class PipelineConfig:
     # itself never consumes it.
     filter_opts: dict | None = None  # kwargs for operators.textstats.
     # corpus_filter when the gate is on (thresholds, require_lang_signal)
+    unicode_nfc: bool = False  # Unicode NFC normalization of the
+    # extracted text BEFORE norm_text/signatures, so canonically-equal
+    # but byte-different spellings (combining sequences vs precomposed)
+    # become exact-hash duplicates instead of slipping past every
+    # exact/near gate. Applied AFTER the byte-identity extraction check
+    # (the raw 'text' column stays byte-identical to the source); only
+    # norm_text — what signatures, spans, and verify consume — sees the
+    # NFC form. Stamped into both the documents checkpoint meta and the
+    # signatures meta: toggling it on a populated workdir fails the
+    # resume loudly (the persisted norm_text was produced by the other
+    # normalization). Off by default: the driver fixture is ASCII and
+    # NFC is a no-op there.
     enable_url_dedup: bool = False  # URL-variant collapse BEFORE any
     # content stage: canonicalize_url (case/ports/fragments/tracking
     # params/param order) over the documents table, keeping ONE doc per
@@ -434,6 +446,16 @@ class NearDupPipeline:
                 work = work.withColumn(
                     "_extract_ok", F.col("extracted_text") == F.col("text")
                 )
+            if cfg.unicode_nfc:
+                # AFTER the byte-identity check binds (raw text stays
+                # untouched), BEFORE norm_text derivation: only the
+                # dedup-facing column sees the NFC form
+                from .operators.webnorm import unicode_norm_udf
+
+                work = work.withColumn(
+                    "extracted_text",
+                    unicode_norm_udf("NFC")(F.col("extracted_text")),
+                )
             work = normalize_text(work, "extracted_text")
             id_src = "url" if "url" in src.columns else "doc_id"
             if id_src == "url":
@@ -464,7 +486,14 @@ class NearDupPipeline:
                 out_df = out_df.repartition(self.cfg.doc_partitions, "doc_id")
             return out_df
 
-        documents = self._stage("documents", s_documents)
+        # gate-off stamp is None so pre-existing workdirs resume silently;
+        # either direction of an nfc toggle on one workdir still fails
+        # loudly at the signatures meta check below (its stamp carries
+        # the unicode_gate key exactly when the gate is on)
+        documents = self._stage(
+            "documents", s_documents,
+            meta={"text_norm": "unicode-nfc-v1"} if cfg.unicode_nfc else None,
+        )
         # invariant checks run on the checkpointed (parallel) table — one
         # combined aggregation instead of serial scans of the raw input.
         # The agg is SUBMITTED on a side thread so it runs concurrently
@@ -793,6 +822,8 @@ class NearDupPipeline:
                 # checkpoints (their resumes keep working), while any
                 # on<->off toggle of one workdir still mismatches
                 meta={**signature_meta(d),
+                      **({"unicode_gate": {"gate": "unicode-nfc-v1"}}
+                         if cfg.unicode_nfc else {}),
                       **({"url_gate": {"gate": "url-canonical-v1"}}
                          if cfg.enable_url_dedup else {}),
                       **({"domain_cap_gate": {"gate": "domain-cap-md5-v1",

@@ -748,6 +748,84 @@ class TestDomainCapGate:
             pipe.run(input_path=corpus_dir, until="domain_cap")
 
 
+class TestUnicodeNfcGate:
+    """Opt-in Unicode NFC normalization of the dedup-facing text
+    (unicode_nfc): canonically-equal but byte-different spellings become
+    exact-hash duplicates; the raw text column stays untouched."""
+
+    WORDS_NFC = "le caf\u00e9 touch\u00e9 r\u00e9sum\u00e9 " * 12
+    WORDS_NFD = "le cafe\u0301 touche\u0301 re\u0301sume\u0301 " * 12
+
+    @pytest.fixture(scope="class")
+    def planted(self, spark):
+        rows = [
+            ("https://a.example/nfc", self.WORDS_NFC),
+            ("https://b.example/nfd", self.WORDS_NFD),
+        ] + [(f"https://f.example/{i}",
+              f"filler document number {i} " + " ".join(
+                  f"tok{i}w{j}" for j in range(40)))
+             for i in range(8)]
+        return spark.createDataFrame(rows, "url string, text string")
+
+    @pytest.fixture(scope="class")
+    def gated(self, spark, planted, tmp_path_factory):
+        work = str(tmp_path_factory.mktemp("work_nfcgate"))
+        pipe = NearDupPipeline(spark, PipelineConfig(
+            workdir=work, unicode_nfc=True))
+        out = pipe.run(docs=planted, until="clusters")
+        return work, out
+
+    def test_canonical_spellings_become_exact_dups(self, spark, gated):
+        _, out = gated
+        docs = {r["url"]: r for r in out["documents"].collect()}
+        a, b = docs["https://a.example/nfc"], docs["https://b.example/nfd"]
+        # raw text preserved byte-for-byte; only norm_text is NFC'd
+        assert a["text"] != b["text"]
+        assert a["norm_text"] == b["norm_text"]
+        sig = {r["doc_id"]: r["text_hash"]
+               for r in out["signatures"].select("doc_id", "text_hash").collect()}
+        assert sig[a["doc_id"]] == sig[b["doc_id"]]
+        cl = {r["doc_id"]: r["cluster_id"] for r in out["clusters"].collect()}
+        assert cl[a["doc_id"]] == cl[b["doc_id"]]
+
+    def test_off_by_default_spellings_stay_distinct(self, spark, planted,
+                                                    tmp_path_factory):
+        work = str(tmp_path_factory.mktemp("work_nonfc"))
+        out = NearDupPipeline(spark, PipelineConfig(workdir=work)).run(
+            docs=planted, until="signatures")
+        docs = {r["url"]: r for r in out["documents"].collect()}
+        a, b = docs["https://a.example/nfc"], docs["https://b.example/nfd"]
+        assert a["norm_text"] != b["norm_text"]
+        sig = {r["doc_id"]: r["text_hash"]
+               for r in out["signatures"].select("doc_id", "text_hash").collect()}
+        assert sig[a["doc_id"]] != sig[b["doc_id"]]
+
+    def test_toggle_fails_resume_loudly_both_ways(self, spark, planted,
+                                                  gated, tmp_path_factory):
+        work, _ = gated
+        # on-written workdir, off rerun
+        with pytest.raises(RuntimeError, match="incompatible configuration"):
+            NearDupPipeline(spark, PipelineConfig(workdir=work)).run(
+                docs=planted, until="signatures")
+        # off-written workdir, on rerun
+        work2 = str(tmp_path_factory.mktemp("work_nfc_off"))
+        NearDupPipeline(spark, PipelineConfig(workdir=work2)).run(
+            docs=planted, until="signatures")
+        with pytest.raises(RuntimeError, match="incompatible configuration"):
+            NearDupPipeline(spark, PipelineConfig(
+                workdir=work2, unicode_nfc=True)).run(
+                docs=planted, until="signatures")
+
+    def test_gated_resume_identical(self, spark, planted, gated):
+        work, out = gated
+        out2 = NearDupPipeline(spark, PipelineConfig(
+            workdir=work, unicode_nfc=True)).run(
+            docs=planted, until="clusters")
+        c1 = sorted(map(tuple, out["clusters"].collect()))
+        c2 = sorted(map(tuple, out2["clusters"].collect()))
+        assert c1 == c2
+
+
 class TestShortDocTier:
     """Tier-2 short-doc banding (DedupConfig.short_doc_max_bytes): the
     32x4 envelope catches a J~0.4 pair only ~50% of the time, which is
