@@ -63,7 +63,8 @@ from .operators.dedup import (
 )
 
 STAGES = (
-    "documents", "url_dedup", "domain_cap", "filter", "perplexity", "sample",
+    "documents", "url_dedup", "domain_cap", "filter", "perplexity",
+    "decontaminate", "sample",
     "signatures",
     "candidates", "tier_report", "span_pairs", "span_report", "verified",
     "edges", "clusters", "canonical",
@@ -77,8 +78,8 @@ STAGES = (
 # frame feeds several downstream consumers that would each re-train the
 # model if it flowed through. filter/sample are cheap per-row Catalyst.
 DEFAULT_CHECKPOINTS = (
-    "documents", "perplexity", "signatures", "tier_report", "span_pairs",
-    "span_report", "verified", "clusters", "canonical",
+    "documents", "perplexity", "decontaminate", "signatures", "tier_report",
+    "span_pairs", "span_report", "verified", "clusters", "canonical",
 )
 
 
@@ -152,6 +153,22 @@ class PipelineConfig:
     # ppl_max required (the filter's whole point is the high-perplexity
     # tail). Docs with < 2 tokens have no bigrams, hence no score: the
     # gate DROPS them (no LM signal — same rows a CCNet band drops).
+    enable_decontaminate: bool = False  # Bloom-filter benchmark
+    # decontamination AFTER the quality gates, BEFORE the mixing sample:
+    # every (filter/perplexity-surviving) doc is probed against an m-bit
+    # Bloom bitmap of the benchmark's k-token grams, and docs whose
+    # flagged-gram ratio exceeds the configured bound are dropped before
+    # any signature work. FPs only ever OVER-drop (a few extra docs at a
+    # quantified rate), never leak an eval gram through — the right
+    # asymmetry for a training corpus. The flagged table (doc_id,
+    # n_grams, n_flagged_grams, flagged_ratio, keep) is the checkpointed
+    # 'decontaminate' stage; config is stamped into both the stage meta
+    # and the signatures meta, so re-pointing the benchmark or re-tuning
+    # the bound on one workdir fails its resume loudly.
+    decontaminate_opts: dict | None = None  # {'benchmark_path': str
+    # (required — parquet with a 'text' column), 'k': 8,
+    # 'm_bits': 1<<20, 'n_hashes': 5, 'max_flagged_ratio': 0.0,
+    # 'text_col': auto ('text' if present else 'norm_text')}
     enable_sample: bool = False  # stratified corpus-mixing downsample
     # (textstats.stratified_sample) after the gates, before dedup:
     # deterministic md5-per-id rates per stratum. The kept-id + weight
@@ -723,6 +740,73 @@ class NearDupPipeline:
             self.flush_metrics()
             return out
 
+        # benchmark decontamination: probe every surviving doc's k-grams
+        # against the Bloom bitmap of the benchmark set, drop docs whose
+        # flagged ratio exceeds the bound. Zero joins, zero corpus text
+        # shuffle — the bitmap rides the plan as one array literal.
+        decon_opts_eff: dict = {}
+        if cfg.enable_decontaminate:
+            from .operators.textstats import bloom_decontaminate
+
+            decon_opts_eff = dict(cfg.decontaminate_opts or {})
+            if "benchmark_path" not in decon_opts_eff:
+                raise ValueError(
+                    "enable_decontaminate requires decontaminate_opts"
+                    "['benchmark_path'] (parquet with a 'text' column — "
+                    "the eval set to scrub against)"
+                )
+            decon_opts_eff.setdefault("k", 8)
+            decon_opts_eff.setdefault("m_bits", 1 << 20)
+            decon_opts_eff.setdefault("n_hashes", 5)
+            decon_opts_eff.setdefault("max_flagged_ratio", 0.0)
+            decon_opts_eff.setdefault(
+                "text_col",
+                "text" if "text" in documents.columns else "norm_text",
+            )
+            max_ratio = float(decon_opts_eff["max_flagged_ratio"])
+            docs_for_decon = documents  # bind NOW, like the other gates
+
+            def s_decontaminate():
+                bench = self.spark.read.parquet(
+                    decon_opts_eff["benchmark_path"]
+                ).select(F.col("text").alias(decon_opts_eff["text_col"]))
+                flagged = bloom_decontaminate(
+                    docs_for_decon, bench,
+                    k=int(decon_opts_eff["k"]),
+                    m_bits=int(decon_opts_eff["m_bits"]),
+                    n_hashes=int(decon_opts_eff["n_hashes"]),
+                    text_col=decon_opts_eff["text_col"],
+                )
+                return flagged.withColumn(
+                    "keep", F.col("flagged_ratio") <= F.lit(max_ratio)
+                )
+
+            dec = self._stage(
+                "decontaminate", s_decontaminate,
+                meta={"gate": "bloom-decontaminate-v1",
+                      **{k: decon_opts_eff[k]
+                         for k in ("benchmark_path", "k", "m_bits",
+                                   "n_hashes", "max_flagged_ratio",
+                                   "text_col")}},
+            )
+            out["decontaminate"] = dec
+            # the stage table holds FLAGGED docs only — unflagged docs
+            # are implicitly kept, so the drop is an anti-join on the
+            # over-threshold ids (a small broadcast side by construction)
+            documents = documents.join(
+                dec.filter(~F.col("keep")).select("doc_id"),
+                "doc_id", "left_anti",
+            )
+        if until == "decontaminate":
+            if not cfg.enable_decontaminate:
+                raise ValueError(
+                    "run(until='decontaminate') requires "
+                    "cfg.enable_decontaminate=True (the gate is opt-in)"
+                )
+            _join_check()
+            self.flush_metrics()
+            return out
+
         # corpus-mixing downsample: deterministic per-stratum md5 rates
         # (pure per-row Catalyst — flow-through, zero shuffle)
         sample_opts_eff: dict = {}
@@ -837,6 +921,13 @@ class NearDupPipeline:
                               **{k: ppl_opts_eff[k] for k in
                                  ("ppl_min", "ppl_max", "text_col")}}}
                          if cfg.enable_perplexity else {}),
+                      **({"decontaminate_gate": {
+                              "gate": "bloom-decontaminate-v1",
+                              **{k: decon_opts_eff[k]
+                                 for k in ("benchmark_path", "k", "m_bits",
+                                           "n_hashes", "max_flagged_ratio",
+                                           "text_col")}}}
+                         if cfg.enable_decontaminate else {}),
                       **({"sample_gate": {"gate": "stratified-md5-v1",
                                           **sample_opts_eff}}
                          if cfg.enable_sample else {})},

@@ -748,6 +748,110 @@ class TestDomainCapGate:
             pipe.run(input_path=corpus_dir, until="domain_cap")
 
 
+class TestDecontaminateGate:
+    """Opt-in Bloom-filter benchmark decontamination between the quality
+    gates and the mixing sample (enable_decontaminate): fully-overlapping
+    docs drop, a one-gram brush against the benchmark survives the ratio
+    bound, and any re-tuning of one workdir fails its resume loudly."""
+
+    N = 30
+
+    @pytest.fixture(scope="class")
+    def planted(self, spark, tmp_path_factory):
+        def toks(i):
+            if i == 25:  # shares exactly ONE 8-gram with benchmark doc 0
+                return [f"d0w{j}" for j in range(8)] + [
+                    f"d25w{j}" for j in range(32)]
+            return [f"d{i}w{j}" for j in range(40)]
+
+        rows = [(f"https://x.example/{i}", " ".join(toks(i)))
+                for i in range(self.N)]
+        docs = spark.createDataFrame(rows, "url string, text string")
+        bench_dir = str(tmp_path_factory.mktemp("benchset") / "bench.parquet")
+        bench_urls = [f"https://x.example/{i}" for i in range(5)]
+        docs.filter(F.col("url").isin(bench_urls)).select("text") \
+            .write.parquet(bench_dir)
+        ids = {r["url"]: r["id"] for r in docs.select(
+            "url", F.xxhash64("url").alias("id")).collect()}
+        return docs, bench_dir, ids
+
+    @pytest.fixture(scope="class")
+    def gated(self, spark, planted, tmp_path_factory):
+        docs, bench_dir, _ = planted
+        work = str(tmp_path_factory.mktemp("work_decon"))
+        cfg = PipelineConfig(
+            workdir=work, enable_decontaminate=True,
+            decontaminate_opts={"benchmark_path": bench_dir,
+                                "max_flagged_ratio": 0.1},
+        )
+        out = NearDupPipeline(spark, cfg).run(docs=docs, until="signatures")
+        return work, cfg, out
+
+    def test_flagged_table_and_gating(self, spark, planted, gated):
+        docs, _, ids = planted
+        _, _, out = gated
+        flagged = {r["doc_id"]: r for r in out["decontaminate"].collect()}
+        bench_ids = {ids[f"https://x.example/{i}"] for i in range(5)}
+        brush_id = ids["https://x.example/25"]
+        # the 5 verbatim docs: every gram flagged, dropped
+        for d in bench_ids:
+            assert flagged[d]["n_flagged_grams"] == flagged[d]["n_grams"]
+            assert not flagged[d]["keep"]
+        # the one-gram brush: flagged but under the 0.1 bound -> kept
+        assert flagged[brush_id]["n_flagged_grams"] == 1
+        assert flagged[brush_id]["keep"]
+        assert set(flagged) == bench_ids | {brush_id}
+        # signatures exist for exactly the surviving set
+        sigs = {r["doc_id"] for r in
+                out["signatures"].select("doc_id").collect()}
+        assert sigs == set(ids.values()) - bench_ids
+        assert brush_id in sigs
+
+    def test_retune_or_toggle_fails_resume_loudly(self, spark, planted,
+                                                  gated):
+        docs, bench_dir, _ = planted
+        work, _, _ = gated
+        # tightening the bound on a populated workdir: stage meta mismatch
+        cfg_bad = PipelineConfig(
+            workdir=work, enable_decontaminate=True,
+            decontaminate_opts={"benchmark_path": bench_dir,
+                                "max_flagged_ratio": 0.0},
+        )
+        with pytest.raises(RuntimeError, match="incompatible configuration"):
+            NearDupPipeline(spark, cfg_bad).run(docs=docs,
+                                                until="decontaminate")
+        # turning the gate off: signatures meta mismatch
+        with pytest.raises(RuntimeError, match="incompatible configuration"):
+            NearDupPipeline(spark, PipelineConfig(workdir=work)).run(
+                docs=docs, until="signatures")
+
+    def test_gated_resume_reads_checkpoint(self, spark, planted, gated):
+        docs, _, _ = planted
+        work, cfg, out = gated
+        pipe2 = NearDupPipeline(spark, cfg)
+        out2 = pipe2.run(docs=docs, until="signatures")
+        assert sorted(map(tuple, out["decontaminate"].collect())) ==             sorted(map(tuple, out2["decontaminate"].collect()))
+        rows = pipe2.metrics().collect()
+        assert any(r["stage"] == "decontaminate" and r["resumed"]
+                   for r in rows)
+        assert any(r["stage"] == "signatures" and r["resumed"] for r in rows)
+
+    def test_until_requires_gate(self, spark, planted, tmp_path_factory):
+        docs, _, _ = planted
+        work = str(tmp_path_factory.mktemp("work_nodecon"))
+        with pytest.raises(ValueError, match="enable_decontaminate"):
+            NearDupPipeline(spark, PipelineConfig(workdir=work)).run(
+                docs=docs, until="decontaminate")
+
+    def test_missing_benchmark_path_raises(self, spark, planted,
+                                           tmp_path_factory):
+        docs, _, _ = planted
+        work = str(tmp_path_factory.mktemp("work_nopath"))
+        cfg = PipelineConfig(workdir=work, enable_decontaminate=True)
+        with pytest.raises(ValueError, match="benchmark_path"):
+            NearDupPipeline(spark, cfg).run(docs=docs, until="decontaminate")
+
+
 class TestUnicodeNfcGate:
     """Opt-in Unicode NFC normalization of the dedup-facing text
     (unicode_nfc): canonically-equal but byte-different spellings become
