@@ -337,6 +337,38 @@ _HOST_SQL = """lower(regexp_extract(url,
                  2))"""
 
 
+def q_html_extract(spark, sf_dir):
+    """HTML -> visible text extraction (WARC->WET stage) over a
+    deterministic page fixture built from the docs table: every doc text
+    is wrapped in a full page (title, style block, inline script with
+    < > && inside, comment, entity-bearing heading/footer, and a second
+    src-only script on every 3rd doc). The oracle builds the identical
+    page in SQL and re-runs the same RE2/Java-common strip/decode chain
+    in DuckDB — extracted_text is compared byte-for-byte, so a drift in
+    any of the five spec steps (script/style/comment removal, tag
+    stripping, entity decode order, whitespace collapse) hash-fails."""
+    from frizbee_spark.operators.webnorm import html_extract
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit("<html><head><title>Doc "), did,
+        F.lit('</title><style type="text/css">p { color: red; }</style>'
+              '<script>if (a < b && c > 0) { track("'), did,
+        F.lit('"); }</script></head><body><!-- crawl '),
+        (F.col("doc_id") * 17).cast("string"),
+        F.lit(" --><h1>Q&amp;A "), did,
+        F.lit("</h1><p>"), F.substring(F.col("text"), 1, 120),
+        F.lit("&nbsp;&lt;EOF&gt;</p>"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.lit('<script src="x.js"></script>')).otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+    return html_extract(
+        d.select("doc_id", html.alias("html"))
+    ).orderBy("doc_id")
+
+
 def q_normalize_unicode(spark, sf_dir):
     """Unicode NFC normalization over the docs table with deterministic
     non-NFC content planted on even doc_ids (the fixture itself is
@@ -998,6 +1030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_rewrite": q_dedup_rewrite,
         "url_dedup": q_url_dedup,
         "pii_scrub": q_pii_scrub,
+        "html_extract": q_html_extract,
         "normalize_unicode": q_normalize_unicode,
         "domain_stats": q_domain_stats,
         "domain_cap": q_domain_cap,
@@ -1378,6 +1411,55 @@ def oracle_sql() -> dict[str, str]:
                    min(url) AS rep_url,
                    min(doc_id) AS rep_id
             FROM canon GROUP BY canonical_url ORDER BY canonical_url
+        """,
+        # identical page fixture + the same RE2/Java-common strip/decode
+        # chain re-run in DuckDB; extracted_text compared byte-for-byte
+        "html_extract": r"""
+            WITH pages AS (
+                SELECT doc_id,
+                       '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+                       || '</title><style type="text/css">p { color: red; }</style>'
+                       || '<script>if (a < b && c > 0) { track("'
+                       || CAST(doc_id AS VARCHAR)
+                       || '"); }</script></head><body><!-- crawl '
+                       || CAST(doc_id * 17 AS VARCHAR)
+                       || ' --><h1>Q&amp;A ' || CAST(doc_id AS VARCHAR)
+                       || '</h1><p>' || substring(text, 1, 120)
+                       || '&nbsp;&lt;EOF&gt;</p>'
+                       || CASE WHEN doc_id % 3 = 0
+                               THEN '<script src="x.js"></script>'
+                               ELSE '' END
+                       || '</body></html>' AS html
+                FROM documents
+            ),
+            stripped AS (
+                SELECT doc_id, html,
+                       regexp_replace(regexp_replace(regexp_replace(
+                           regexp_replace(html,
+                               '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                               '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                               '(?s)<!--.*?-->', ' ', 'g'),
+                               '<[^>]*>', ' ', 'g') AS t
+                FROM pages
+            ),
+            decoded AS (
+                -- same entity order as the operator: &amp; LAST
+                SELECT doc_id, html,
+                       trim(regexp_replace(
+                           replace(replace(replace(replace(replace(replace(
+                               replace(t,
+                               '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                               '&#39;', ''''), '&apos;', ''''),
+                               '&nbsp;', ' '), '&amp;', '&'),
+                           '[ \t\n\r\f]+', ' ', 'g')) AS extracted_text
+                FROM stripped
+            )
+            SELECT doc_id, extracted_text,
+                   CAST(len(regexp_extract_all(html, '<[^>]*>')) AS BIGINT)
+                       AS n_tags,
+                   round(length(extracted_text) * 1.0
+                         / greatest(length(html), 1), 4) AS text_ratio
+            FROM decoded ORDER BY doc_id
         """,
         # DuckDB's nfc_normalize is an INDEPENDENT NFC implementation
         # from the pyarrow kernel the operator uses — the hash compare

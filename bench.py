@@ -198,7 +198,7 @@ def main() -> None:
             "stratified_sample", "user_sessions", "event_rates",
             "fuzzy_join", "shingle_containment_pairs",
             "candidate_tiers", "curation_rollup", "dedup_rewrite",
-            "url_dedup", "pii_scrub", "normalize_unicode",
+            "url_dedup", "pii_scrub", "html_extract", "normalize_unicode",
             "domain_stats", "domain_cap",
             "line_dedup",
         ):

@@ -243,3 +243,75 @@ class TestPiiScrub:
         df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
         plan = pii_scrub(df)._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
+
+
+@pytest.mark.spark
+class TestHtmlExtract:
+    def _one(self, spark, html):
+        from frizbee_spark.operators.webnorm import html_extract
+
+        df = spark.createDataFrame([(1, html)], "doc_id long, html string")
+        [r] = html_extract(df).collect()
+        return r
+
+    def test_basic_page(self, spark):
+        r = self._one(
+            spark,
+            '<html><head><title>T</title>'
+            '<style type="text/css">p { color: red; }</style>'
+            '<script>if (a < b && c > 0) { track("x"); }</script></head>'
+            '<body><!-- crawler note --><h1>Hello</h1>'
+            "<p>world &amp; friends</p></body></html>",
+        )
+        assert r["extracted_text"] == "T Hello world & friends"
+        # raw-input tag count includes the script/style tags AND the
+        # <...> shapes inside script text (deterministic, oracle-shared)
+        assert r["n_tags"] > 10
+        assert 0.0 < r["text_ratio"] < 1.0
+
+    def test_script_style_span_newlines_case_insensitive(self, spark):
+        r = self._one(
+            spark,
+            "<SCRIPT>\nvar a = 1;\nvar b = 2;\n</SCRIPT>keep"
+            "<Style>\nbody {}\n</Style> me",
+        )
+        assert r["extracted_text"] == "keep me"
+
+    def test_adjacent_scripts_do_not_merge(self, spark):
+        # non-greedy: text BETWEEN two script blocks survives
+        r = self._one(spark, "<script>a</script>mid<script>b</script>end")
+        assert r["extracted_text"] == "mid end"
+
+    def test_tags_become_word_boundaries(self, spark):
+        r = self._one(spark, "<p>one</p><p>two</p>")
+        assert r["extracted_text"] == "one two"
+
+    def test_entity_decode_single_level(self, spark):
+        # &amp;lt; is the DISPLAYED string '&lt;' — decode once, not twice;
+        # a decoded &lt;b&gt; stays visible text, not a strippable tag
+        r = self._one(spark, "<p>a &amp;lt; b and &lt;b&gt;bold&lt;/b&gt;</p>")
+        assert r["extracted_text"] == "a &lt; b and <b>bold</b>"
+
+    def test_all_entities(self, spark):
+        r = self._one(
+            spark, "&lt;&gt;&quot;&#39;&apos;x&nbsp;y&amp;z")
+        assert r["extracted_text"] == "<>\"''x y&z"
+
+    def test_plain_text_passthrough(self, spark):
+        r = self._one(spark, "no markup   here\n\nat all")
+        assert r["extracted_text"] == "no markup here at all"
+        assert r["n_tags"] == 0
+
+    def test_null_passthrough(self, spark):
+        from frizbee_spark.operators.webnorm import html_extract
+
+        df = spark.createDataFrame([(1, None)], "doc_id long, html string")
+        [r] = html_extract(df).collect()
+        assert r["extracted_text"] is None and r["n_tags"] is None
+
+    def test_zero_shuffle_plan(self, spark):
+        from frizbee_spark.operators.webnorm import html_extract
+
+        df = spark.createDataFrame([(1, "<p>x</p>")], "doc_id long, html string")
+        plan = html_extract(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
