@@ -549,6 +549,19 @@ def q_stratified_sample(spark, sf_dir):
     ).select("doc_id", "lang", "source", "sample_u", "sample_weight")
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Concat-and-chunk training-sequence packing manifest (seq_len=256,
+    4 shards): per doc, the shard-local sequence range its tokens span
+    and the offset of its first token. All-integer arithmetic (md5 shard
+    hash, running sum, DIV/%), so the oracle reproduces the manifest
+    bit-for-bit."""
+    from frizbee_spark.operators.packing import pack_sequences
+
+    return pack_sequences(
+        _docs(spark, sf_dir), seq_len=256, n_shards=4
+    ).orderBy("doc_id")
+
+
 def q_lm_perplexity(spark, sf_dir):
     """Bigram-LM cross-entropy/perplexity per doc under a Laplace-smoothed
     model trained on the corpus itself — the CCNet/Gopher-style
@@ -1046,6 +1059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topterms": q_tfidf_topterms,
         "lm_perplexity": q_lm_perplexity,
         "stratified_sample": q_stratified_sample,
+        "pack_sequences": q_pack_sequences,
         "user_sessions": q_user_sessions,
         "event_rates": q_event_rates,
         "language_id": q_language_id,
@@ -1808,6 +1822,31 @@ def oracle_sql() -> dict[str, str]:
                    round(u / 1000000.0, 6) AS sample_u,
                    round(1000000.0 / thr, 6) AS sample_weight
             FROM s WHERE u < thr
+        """,
+        # same md5 shard hash, running sum, and integer DIV/% — the
+        # manifest must match bit-for-bit
+        "pack_sequences": """
+            WITH t AS (
+                SELECT doc_id,
+                       len(string_split(trim(text), ' '))::BIGINT AS n_tokens,
+                       ((('0x' || substr(md5('pack:' || doc_id::VARCHAR),
+                                         1, 15))::UBIGINT)::BIGINT
+                        % 4) AS shard
+                FROM documents WHERE text IS NOT NULL
+            ),
+            c AS (
+                SELECT doc_id, shard, n_tokens,
+                       COALESCE(SUM(n_tokens) OVER (
+                           PARTITION BY shard ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0)::BIGINT AS tok_offset
+                FROM t
+            )
+            SELECT doc_id, shard, n_tokens, tok_offset,
+                   tok_offset // 256 AS seq_first,
+                   (tok_offset + n_tokens - 1) // 256 AS seq_last,
+                   tok_offset % 256 AS seq_offset
+            FROM c ORDER BY doc_id
         """,
         "lm_perplexity": """
             WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS w

@@ -195,7 +195,8 @@ def main() -> None:
             "ngram_contamination", "bloom_decontaminate", "dup_chunks",
             "minhash_jaccard_est",
             "corpus_filter", "tfidf_topterms", "lm_perplexity",
-            "stratified_sample", "user_sessions", "event_rates",
+            "stratified_sample", "pack_sequences",
+            "user_sessions", "event_rates",
             "fuzzy_join", "shingle_containment_pairs",
             "candidate_tiers", "curation_rollup", "dedup_rewrite",
             "url_dedup", "pii_scrub", "html_extract", "normalize_unicode",
