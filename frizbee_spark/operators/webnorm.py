@@ -188,6 +188,20 @@ HTML_ENTITIES = (
 )
 
 
+def html_visible_text(h):
+    """The html->visible-text Column expression behind
+    :func:`html_extract` — exposed so the pipeline's opt-in WET
+    extractor applies the IDENTICAL chain (the oracle checks the
+    operator; the pipeline must not drift from it)."""
+    t = F.regexp_replace(h, HTML_SCRIPT_RE, " ")
+    t = F.regexp_replace(t, HTML_STYLE_RE, " ")
+    t = F.regexp_replace(t, HTML_COMMENT_RE, " ")
+    t = F.regexp_replace(t, HTML_TAG_RE, " ")
+    for ent, ch in HTML_ENTITIES:
+        t = F.replace(t, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(t, HTML_WS_RE, " "))
+
+
 def html_extract(df: DataFrame, id_col: str = "doc_id",
                  html_col: str = "html") -> DataFrame:
     """HTML -> visible text extraction — the WARC->WET stage every
@@ -229,13 +243,7 @@ def html_extract(df: DataFrame, id_col: str = "doc_id",
     n_tags = F.size(
         F.regexp_extract_all(h, F.lit(HTML_TAG_RE), F.lit(0))
     ).cast("long")
-    t = F.regexp_replace(h, HTML_SCRIPT_RE, " ")
-    t = F.regexp_replace(t, HTML_STYLE_RE, " ")
-    t = F.regexp_replace(t, HTML_COMMENT_RE, " ")
-    t = F.regexp_replace(t, HTML_TAG_RE, " ")
-    for ent, ch in HTML_ENTITIES:
-        t = F.replace(t, F.lit(ent), F.lit(ch))
-    t = F.trim(F.regexp_replace(t, HTML_WS_RE, " "))
+    t = html_visible_text(h)
     return df.select(
         F.col(id_col),
         t.alias("extracted_text"),

@@ -175,6 +175,16 @@ class PipelineConfig:
     # table is the 'sample' stage output.
     sample_opts: dict | None = None  # kwargs for stratified_sample;
     # 'rates' is required, 'stratum_col' defaults to 'lang'
+    extractor: str = "shell"  # html -> extracted_text strategy when the
+    # source has an 'html' column. "shell": the sandbox corpus's fixed
+    # <html><body> shell is a substring slice (byte-identity with 'text'
+    # asserted — the default). "wet": the full WET-style visible-text
+    # chain (webnorm.html_visible_text — script/style/comment removal,
+    # tag strip, entity decode, whitespace collapse), for real crawl
+    # pages; identical expression to the oracle-checked html_extract
+    # operator. The choice is stamped into the documents checkpoint
+    # meta, so switching extractors on a populated workdir fails its
+    # resume loudly instead of silently mixing extraction semantics.
     check_extraction: bool = True   # assert extracted_text == text per url
     check_id_collisions: bool = True
     doc_partitions: int | None = None   # force a doc_id hash layout on the
@@ -456,9 +466,22 @@ class NearDupPipeline:
                 os.path.join(input_path, "documents.parquet")
             )
             has_html = "html" in src.columns
-            work = extract_text(src) if has_html else src.withColumn(
-                "extracted_text", F.col("text")
-            )
+            if not has_html:
+                work = src.withColumn("extracted_text", F.col("text"))
+            elif cfg.extractor == "wet":
+                from .operators.webnorm import html_visible_text
+
+                work = src.withColumn(
+                    "extracted_text",
+                    html_visible_text(F.col("html").cast("string")),
+                )
+            elif cfg.extractor == "shell":
+                work = extract_text(src)
+            else:
+                raise ValueError(
+                    f"unknown extractor {cfg.extractor!r} "
+                    "(expected 'shell' or 'wet')"
+                )
             if cfg.check_extraction and "text" in src.columns and has_html:
                 work = work.withColumn(
                     "_extract_ok", F.col("extracted_text") == F.col("text")
@@ -503,14 +526,18 @@ class NearDupPipeline:
                 out_df = out_df.repartition(self.cfg.doc_partitions, "doc_id")
             return out_df
 
-        # gate-off stamp is None so pre-existing workdirs resume silently;
-        # either direction of an nfc toggle on one workdir still fails
-        # loudly at the signatures meta check below (its stamp carries
-        # the unicode_gate key exactly when the gate is on)
-        documents = self._stage(
-            "documents", s_documents,
-            meta={"text_norm": "unicode-nfc-v1"} if cfg.unicode_nfc else None,
-        )
+        # the documents stamp always carries the extractor identity, so
+        # an extractor switch on a populated workdir fails loudly in
+        # EITHER direction (a None stamp would skip the compare and let
+        # a wet->shell downgrade resume a wet-extracted checkpoint).
+        # Pre-stamping workdirs (stored None) still resume with the
+        # standard warning; an nfc toggle also fails here (text_norm key
+        # present exactly when the gate is on) as well as at the
+        # signatures meta check below.
+        doc_meta = {"extractor": f"{cfg.extractor}-v1"}
+        if cfg.unicode_nfc:
+            doc_meta["text_norm"] = "unicode-nfc-v1"
+        documents = self._stage("documents", s_documents, meta=doc_meta)
         # invariant checks run on the checkpointed (parallel) table — one
         # combined aggregation instead of serial scans of the raw input.
         # The agg is SUBMITTED on a side thread so it runs concurrently

@@ -315,3 +315,88 @@ class TestHtmlExtract:
         df = spark.createDataFrame([(1, "<p>x</p>")], "doc_id long, html string")
         plan = html_extract(df)._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
+
+
+@pytest.mark.spark
+class TestWetExtractorGate:
+    """Opt-in extractor='wet' pipeline mode: the full visible-text chain
+    replaces the fixed-shell slice, byte-identity still binds on the
+    synthetic corpus (its text is markup-free), and extractor switches
+    on a populated workdir fail the resume loudly."""
+
+    @pytest.fixture(scope="class")
+    def corpus_dir(self, tmp_path_factory):
+        from frizbee_spark.sources.corpus import write_corpus
+
+        d = str(tmp_path_factory.mktemp("corpus_wet"))
+        write_corpus(d, 200)
+        return d
+
+    def test_wet_byte_identity_and_cluster_parity(self, spark, corpus_dir,
+                                                  tmp_path_factory):
+        import os
+
+        from pyspark.sql import functions as F
+
+        from frizbee_spark.pipeline import NearDupPipeline, PipelineConfig
+
+        w_wet = str(tmp_path_factory.mktemp("work_wet"))
+        w_shell = str(tmp_path_factory.mktemp("work_shell"))
+        out_wet = NearDupPipeline(spark, PipelineConfig(
+            workdir=w_wet, extractor="wet")).run(input_path=corpus_dir)
+        out_shell = NearDupPipeline(spark, PipelineConfig(
+            workdir=w_shell)).run(input_path=corpus_dir)
+        # check_extraction ran inside the wet run (extracted == text);
+        # the two extractors must agree doc-for-doc on this corpus
+        a = out_wet["clusters"].orderBy("doc_id").toPandas()
+        b = out_shell["clusters"].orderBy("doc_id").toPandas()
+        assert a.equals(b)
+        src = spark.read.parquet(
+            os.path.join(corpus_dir, "documents.parquet"))
+        chk = out_wet["documents"].select("url", "text").join(
+            src.select("url", F.col("text").alias("src_text")), "url")
+        assert chk.filter(F.col("text") != F.col("src_text")).count() == 0
+
+    def test_wet_strips_real_markup(self, spark, tmp_path_factory):
+        from frizbee_spark.pipeline import NearDupPipeline, PipelineConfig
+
+        html = ("<html><head><script>nav()</script></head><body>"
+                "<h1>Title</h1><p>body &amp; soul</p></body></html>")
+        src = spark.createDataFrame(
+            [("https://a.example/1", bytearray(html.encode()))],
+            "url string, html binary")
+        work = str(tmp_path_factory.mktemp("work_wetmarkup"))
+        out = NearDupPipeline(spark, PipelineConfig(
+            workdir=work, extractor="wet",
+            check_extraction=False)).run(docs=src, until="documents")
+        [r] = out["documents"].collect()
+        assert r["norm_text"] == "title body & soul"
+
+    def test_extractor_switch_fails_resume_both_ways(self, spark, corpus_dir,
+                                                     tmp_path_factory):
+        from frizbee_spark.pipeline import NearDupPipeline, PipelineConfig
+
+        work = str(tmp_path_factory.mktemp("work_switch"))
+        NearDupPipeline(spark, PipelineConfig(workdir=work)).run(
+            input_path=corpus_dir, until="documents")
+        with pytest.raises(RuntimeError, match="incompatible configuration"):
+            NearDupPipeline(spark, PipelineConfig(
+                workdir=work, extractor="wet")).run(
+                    input_path=corpus_dir, until="documents")
+        work2 = str(tmp_path_factory.mktemp("work_switch2"))
+        NearDupPipeline(spark, PipelineConfig(
+            workdir=work2, extractor="wet")).run(
+                input_path=corpus_dir, until="documents")
+        with pytest.raises(RuntimeError, match="incompatible configuration"):
+            NearDupPipeline(spark, PipelineConfig(workdir=work2)).run(
+                input_path=corpus_dir, until="documents")
+
+    def test_unknown_extractor_rejected(self, spark, corpus_dir,
+                                        tmp_path_factory):
+        from frizbee_spark.pipeline import NearDupPipeline, PipelineConfig
+
+        work = str(tmp_path_factory.mktemp("work_badext"))
+        with pytest.raises(ValueError, match="unknown extractor"):
+            NearDupPipeline(spark, PipelineConfig(
+                workdir=work, extractor="trafilatura")).run(
+                    input_path=corpus_dir, until="documents")
