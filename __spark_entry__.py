@@ -549,6 +549,22 @@ def q_stratified_sample(spark, sf_dir):
     ).select("doc_id", "lang", "source", "sample_u", "sample_weight")
 
 
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights: every-10th doc plays the high-quality
+    target set, the rest are the raw corpus scored by their
+    hashed-bigram (4096 buckets) log-likelihood ratio under the two
+    Laplace-smoothed bucket multinomials. Same 6-decimal/decimal-sum
+    determinism discipline as lm_perplexity."""
+    from frizbee_spark.operators.textstats import dsir_weights
+
+    docs = _docs(spark, sf_dir)
+    return dsir_weights(
+        docs.filter(F.col("doc_id") % 10 != 0),
+        docs.filter(F.col("doc_id") % 10 == 0),
+        n_buckets=4096,
+    ).orderBy("doc_id")
+
+
 def q_pack_sequences(spark, sf_dir):
     """Concat-and-chunk training-sequence packing manifest (seq_len=256,
     4 shards): per doc, the shard-local sequence range its tokens span
@@ -1060,6 +1076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": q_lm_perplexity,
         "stratified_sample": q_stratified_sample,
         "pack_sequences": q_pack_sequences,
+        "dsir_weights": q_dsir_weights,
         "user_sessions": q_user_sessions,
         "event_rates": q_event_rates,
         "language_id": q_language_id,
@@ -1822,6 +1839,52 @@ def oracle_sql() -> dict[str, str]:
                    round(u / 1000000.0, 6) AS sample_u,
                    round(1000000.0 / thr, 6) AS sample_weight
             FROM s WHERE u < thr
+        """,
+        # same hashed-bigram buckets, Laplace multinomials, and
+        # 6-decimal/decimal-sum discipline re-derived in DuckDB
+        "dsir_weights": """
+            WITH rawd AS (SELECT doc_id, string_split(trim(text), ' ') AS w
+                          FROM documents WHERE doc_id % 10 <> 0),
+            tgtd AS (SELECT string_split(trim(text), ' ') AS w
+                     FROM documents WHERE doc_id % 10 = 0),
+            rawb AS (
+                SELECT doc_id,
+                       ((('0x' || substr(md5('dsir:' ||
+                                             (w[i] || ' ' || w[i + 1])),
+                                         1, 15))::UBIGINT)::BIGINT
+                        % 4096) AS b
+                FROM rawd, unnest(generate_series(1, len(w) - 1)) AS s(i)
+            ),
+            tgtb AS (
+                SELECT ((('0x' || substr(md5('dsir:' ||
+                                             (w[i] || ' ' || w[i + 1])),
+                                         1, 15))::UBIGINT)::BIGINT
+                        % 4096) AS b
+                FROM tgtd, unnest(generate_series(1, len(w) - 1)) AS s(i)
+            ),
+            rm AS (SELECT b, count(*)::BIGINT AS c_raw FROM rawb GROUP BY b),
+            tm AS (SELECT b, count(*)::BIGINT AS c_tgt FROM tgtb GROUP BY b),
+            tot AS (SELECT (SELECT sum(c_raw) FROM rm) AS tr,
+                           (SELECT sum(c_tgt) FROM tm) AS tt),
+            model AS (
+                SELECT rm.b,
+                       CAST(round(
+                           (log2(COALESCE(tm.c_tgt, 0) + 1.0)
+                            - log2(tot.tt + 4096.0))
+                           - (log2(rm.c_raw + 1.0)
+                              - log2(tot.tr + 4096.0)), 6)
+                           AS DECIMAL(20,6)) AS lr
+                FROM rm LEFT JOIN tm USING (b), tot
+            ),
+            sc AS (
+                SELECT doc_id, count(*)::BIGINT AS n_grams,
+                       sum(lr) AS slr
+                FROM rawb JOIN model USING (b) GROUP BY doc_id
+            )
+            SELECT doc_id, n_grams,
+                   CAST(round(slr, 4) AS DOUBLE) AS log_weight,
+                   round(CAST(slr AS DOUBLE) / n_grams, 4) AS avg_logratio
+            FROM sc ORDER BY doc_id
         """,
         # same md5 shard hash, running sum, and integer DIV/% — the
         # manifest must match bit-for-bit

@@ -195,7 +195,7 @@ def main() -> None:
             "ngram_contamination", "bloom_decontaminate", "dup_chunks",
             "minhash_jaccard_est",
             "corpus_filter", "tfidf_topterms", "lm_perplexity",
-            "stratified_sample", "pack_sequences",
+            "stratified_sample", "pack_sequences", "dsir_weights",
             "user_sessions", "event_rates",
             "fuzzy_join", "shingle_containment_pairs",
             "candidate_tiers", "curation_rollup", "dedup_rewrite",

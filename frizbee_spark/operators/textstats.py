@@ -997,6 +997,125 @@ def lm_perplexity(
     )
 
 
+def dsir_weights(
+    df: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 4096,
+    alpha: float = 1.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "dsir:",
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling", arXiv:2302.03169):
+    score every raw-corpus doc by how much more likely its hashed-bigram
+    features are under a TARGET distribution (a small high-quality set)
+    than under the RAW distribution — the weight importance resampling
+    then samples by. Pipelines use it to tilt a web crawl toward a
+    curated target (e.g. Wikipedia+books) without training a classifier.
+
+    Features are the paper's hashed n-grams: each bigram maps to one of
+    ``n_buckets`` buckets via the repo's portable md5->integer idiom, and
+    both distributions are Laplace-smoothed bucket multinomials::
+
+        p[b] = (count[b] + alpha) / (total + alpha * n_buckets)
+
+    Per doc: ``log_weight = sum over bigram occurrences of
+    log2 p_target[bucket] - log2 p_raw[bucket]`` (the doc's
+    log-likelihood ratio), plus ``avg_logratio = log_weight / n_grams``
+    (the length-free ranking signal). Docs with < 2 tokens have no
+    bigrams and are excluded — same contract as :func:`lm_perplexity`.
+
+    Plan shape (scale notes): TWO map-side-combined bucket aggregates
+    (raw + target — buckets are ints, text never shuffles), totals via
+    1-row broadcast cross joins, and ONE model join — the model is at
+    most ``n_buckets`` rows (16k at the default), explicitly
+    ``broadcast()``, so scoring is a map-side join on the exploded
+    (doc_id, bucket) stream followed by one doc_id-keyed aggregate.
+    Like lm_perplexity, the bigram subtree is deliberately evaluated
+    twice (raw model + scoring) rather than persisting a TB-scale
+    exploded intermediate. Zipfian hot buckets are bounded by
+    construction: n_buckets keys total.
+
+    Determinism across engines (the DuckDB oracle hash-matches): the
+    per-bucket log-ratio rounds to 6 decimals and sums as
+    DECIMAL(20,6) — exact order-independent addition.
+
+    Output: (doc_id, n_grams, log_weight, avg_logratio).
+    """
+    if n_buckets <= 0:
+        raise ValueError(f"n_buckets must be positive, got {n_buckets}")
+    if alpha <= 0:
+        raise ValueError(f"alpha must be positive, got {alpha}")
+
+    def bucket_stream(frame: DataFrame, with_id: bool) -> DataFrame:
+        toks = F.split(F.trim(F.col(text_col)), r"\s+")
+        d = frame.select(
+            F.col(id_col).alias("doc_id"), toks.alias("tk")
+        )
+        n = F.size("tk")
+        bg = F.explode(
+            F.zip_with(
+                F.slice("tk", 1, F.greatest(n - 1, F.lit(0))),
+                F.slice("tk", 2, F.greatest(n - 1, F.lit(0))),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("bg")
+        cols = (["doc_id", bg] if with_id else [bg])
+        s = d.select(*cols)
+        b = (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(salt), F.col("bg"))), 1, 15),
+                16, 10,
+            ).cast("long")
+            % n_buckets
+        )
+        return s.withColumn("b", b).drop("bg")
+
+    raw = bucket_stream(df, with_id=True)
+    raw_m = raw.groupBy("b").agg(F.count("*").alias("c_raw"))
+    tgt_m = (
+        bucket_stream(target, with_id=False)
+        .groupBy("b").agg(F.count("*").alias("c_tgt"))
+    )
+    raw_tot = raw_m.select(F.sum("c_raw").alias("_tr"))
+    tgt_tot = tgt_m.select(F.sum("c_tgt").alias("_tt"))
+    denom = float(alpha) * n_buckets
+    model = (
+        raw_m.join(tgt_m, "b", "left")
+        .withColumn("c_tgt", F.coalesce(F.col("c_tgt"), F.lit(0)))
+        .crossJoin(F.broadcast(raw_tot))
+        .crossJoin(F.broadcast(tgt_tot))
+        .select(
+            "b",
+            F.round(
+                (F.log2(F.col("c_tgt") + F.lit(float(alpha)))
+                 - F.log2(F.col("_tt") + F.lit(denom)))
+                - (F.log2(F.col("c_raw") + F.lit(float(alpha)))
+                   - F.log2(F.col("_tr") + F.lit(denom))),
+                6,
+            ).cast("decimal(20,6)").alias("lr"),
+        )
+    )
+    scored = (
+        raw.join(F.broadcast(model), "b")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_grams"), F.sum("lr").alias("_slr"))
+    )
+    # round log_weight while still DECIMAL: the 6-decimal sum lands on
+    # exact .00005 half-way points that double rounding resolves by
+    # representation luck (observed at sf0.001) — decimal HALF_UP is
+    # engine-identical. avg_logratio divides first, so halves are
+    # measure-zero there (same reasoning as lm_perplexity).
+    return scored.select(
+        "doc_id",
+        "n_grams",
+        F.round(F.col("_slr"), 4).cast("double").alias("log_weight"),
+        F.round(F.col("_slr").cast("double") / F.col("n_grams"), 4)
+            .alias("avg_logratio"),
+    )
+
+
 def tfidf_topterms(
     df: DataFrame,
     id_col: str = "doc_id",

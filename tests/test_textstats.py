@@ -703,3 +703,97 @@ class TestBloomDecontaminate:
             bloom_decontaminate(corpus, bench, m_bits=100)
         with pytest.raises(ValueError, match="n_hashes"):
             bloom_decontaminate(corpus, bench, n_hashes=0)
+
+
+class TestDsirWeights:
+    def test_matches_brute_force_reference(self, spark):
+        import hashlib
+        import math
+        from collections import Counter
+
+        from frizbee_spark.operators.textstats import dsir_weights
+
+        raw_rows = [
+            (1, "the cat sat on the mat"),
+            (2, "zq qq xv jj kk ww"),
+            (3, "the dog sat on the rug"),
+        ]
+        tgt_rows = [
+            (10, "the cat sat on the sofa"),
+            (11, "the dog sat on the floor"),
+        ]
+        B, A = 64, 1.0
+
+        def bucket(bg):
+            h = hashlib.md5(("dsir:" + bg).encode()).hexdigest()
+            return int(h[:15], 16) % B
+
+        def bigrams(t):
+            tk = t.split()
+            return [tk[i] + " " + tk[i + 1] for i in range(len(tk) - 1)]
+
+        raw_c = Counter(bucket(bg) for _, t in raw_rows for bg in bigrams(t))
+        tgt_c = Counter(bucket(bg) for _, t in tgt_rows for bg in bigrams(t))
+        tr, tt = sum(raw_c.values()), sum(tgt_c.values())
+        lr = {
+            b: round(
+                (math.log2(tgt_c.get(b, 0) + A) - math.log2(tt + A * B))
+                - (math.log2(c + A) - math.log2(tr + A * B)),
+                6,
+            )
+            for b, c in raw_c.items()
+        }
+        expected = {}
+        for i, t in raw_rows:
+            lrs = [lr[bucket(bg)] for bg in bigrams(t)]
+            s = sum(lrs)
+            expected[i] = (len(lrs), round(s, 4), round(s / len(lrs), 4))
+
+        raw = spark.createDataFrame(raw_rows, "doc_id long, text string")
+        tgt = spark.createDataFrame(tgt_rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["n_grams"], r["log_weight"], r["avg_logratio"])
+            for r in dsir_weights(raw, tgt, n_buckets=B).collect()
+        }
+        assert got == expected
+
+    def test_on_target_docs_outrank_junk(self, spark):
+        from frizbee_spark.operators.textstats import dsir_weights
+
+        raw = spark.createDataFrame(
+            [
+                (1, "the cat sat on the mat and the cat slept"),
+                (2, "zq qq xv jj kk ww yy uu oo pp"),
+                (3, "one"),   # no bigrams -> excluded
+            ],
+            "doc_id long, text string",
+        )
+        tgt = spark.createDataFrame(
+            [(10, "the cat sat on the mat while the cat purred")],
+            "doc_id long, text string",
+        )
+        got = {r["doc_id"]: r for r in dsir_weights(raw, tgt).collect()}
+        assert set(got) == {1, 2}
+        assert got[1]["avg_logratio"] > got[2]["avg_logratio"]
+
+    def test_model_join_is_broadcast(self, spark):
+        from frizbee_spark.operators.textstats import dsir_weights
+
+        raw = spark.createDataFrame(
+            [(1, "a b c")], "doc_id long, text string")
+        tgt = spark.createDataFrame(
+            [(2, "a b")], "doc_id long, text string")
+        plan = (
+            dsir_weights(raw, tgt)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in plan
+
+    def test_validation(self, spark):
+        from frizbee_spark.operators.textstats import dsir_weights
+
+        d = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            dsir_weights(d, d, n_buckets=0)
+        with pytest.raises(ValueError):
+            dsir_weights(d, d, alpha=0.0)
