@@ -1041,6 +1041,13 @@ def dsir_weights(
     per-bucket log-ratio rounds to 6 decimals and sums as
     DECIMAL(20,6) — exact order-independent addition.
 
+    Sizing note: keep ``alpha * n_buckets`` well under both corpora's
+    gram totals. When the smoothing mass rivals the totals (tiny
+    corpora at the 4096 default), every ratio skews by the raw/target
+    SIZE difference rather than distributional difference — a
+    small-data artifact real corpora never hit; shrink ``n_buckets``
+    for toy inputs.
+
     Output: (doc_id, n_grams, log_weight, avg_logratio).
     """
     if n_buckets <= 0:
@@ -1050,8 +1057,11 @@ def dsir_weights(
 
     def bucket_stream(frame: DataFrame, with_id: bool) -> DataFrame:
         toks = F.split(F.trim(F.col(text_col)), r"\s+")
+        # the target frame only needs a text column — never touch id_col
+        # there (a curated target set has no doc ids of its own)
         d = frame.select(
-            F.col(id_col).alias("doc_id"), toks.alias("tk")
+            *([F.col(id_col).alias("doc_id")] if with_id else []),
+            toks.alias("tk"),
         )
         n = F.size("tk")
         bg = F.explode(

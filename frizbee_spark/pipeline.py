@@ -64,7 +64,7 @@ from .operators.dedup import (
 
 STAGES = (
     "documents", "url_dedup", "domain_cap", "filter", "perplexity",
-    "decontaminate", "sample",
+    "dsir", "decontaminate", "sample",
     "signatures",
     "candidates", "tier_report", "span_pairs", "span_report", "verified",
     "edges", "clusters", "canonical",
@@ -78,7 +78,8 @@ STAGES = (
 # frame feeds several downstream consumers that would each re-train the
 # model if it flowed through. filter/sample are cheap per-row Catalyst.
 DEFAULT_CHECKPOINTS = (
-    "documents", "perplexity", "decontaminate", "signatures", "tier_report",
+    "documents", "perplexity", "dsir", "decontaminate", "signatures",
+    "tier_report",
     "span_pairs", "span_report", "verified", "clusters", "canonical",
 )
 
@@ -153,6 +154,23 @@ class PipelineConfig:
     # ppl_max required (the filter's whole point is the high-perplexity
     # tail). Docs with < 2 tokens have no bigrams, hence no score: the
     # gate DROPS them (no LM signal — same rows a CCNet band drops).
+    enable_dsir: bool = False  # DSIR importance-weight gate (Xie et al.
+    # 2023) AFTER the perplexity gate: dsir_weights scores every
+    # surviving doc's hashed-bigram log-likelihood ratio under a curated
+    # TARGET corpus vs the raw (surviving) corpus, and docs below
+    # min_avg_logratio are dropped before any signature work — the
+    # tilt-toward-quality selection CCNet does with a target LM,
+    # expressed as the paper's bucket multinomials. The scored table
+    # (doc_id, n_grams, log_weight, avg_logratio, keep) is the
+    # checkpointed 'dsir' stage; docs with < 2 tokens have no bigrams,
+    # hence no ratio: the gate DROPS them (no feature signal — same
+    # contract as the perplexity gate). Config is stamped into stage +
+    # signatures meta, so re-pointing the target or re-tuning the
+    # threshold on one workdir fails its resume loudly.
+    dsir_opts: dict | None = None  # {'target_path': str (required —
+    # parquet with a 'text' column), 'min_avg_logratio': float
+    # (required), 'n_buckets': 4096, 'alpha': 1.0, 'text_col': auto
+    # ('text' if present else 'norm_text')}
     enable_decontaminate: bool = False  # Bloom-filter benchmark
     # decontamination AFTER the quality gates, BEFORE the mixing sample:
     # every (filter/perplexity-surviving) doc is probed against an m-bit
@@ -767,6 +785,69 @@ class NearDupPipeline:
             self.flush_metrics()
             return out
 
+        # DSIR gate: score the (perplexity-surviving) docs' hashed-bigram
+        # likelihood ratio against a curated target corpus, keep docs at
+        # or above the configured floor.
+        dsir_opts_eff: dict = {}
+        if cfg.enable_dsir:
+            from .operators.textstats import dsir_weights
+
+            dsir_opts_eff = dict(cfg.dsir_opts or {})
+            if "target_path" not in dsir_opts_eff:
+                raise ValueError(
+                    "enable_dsir requires dsir_opts['target_path'] "
+                    "(parquet with a 'text' column — the curated target "
+                    "distribution to tilt toward)"
+                )
+            if "min_avg_logratio" not in dsir_opts_eff:
+                raise ValueError(
+                    "enable_dsir requires dsir_opts['min_avg_logratio'] "
+                    "— the gate exists to cut the off-target tail"
+                )
+            dsir_opts_eff.setdefault("n_buckets", 4096)
+            dsir_opts_eff.setdefault("alpha", 1.0)
+            dsir_opts_eff.setdefault(
+                "text_col",
+                "text" if "text" in documents.columns else "norm_text",
+            )
+            dsir_floor = float(dsir_opts_eff["min_avg_logratio"])
+            docs_for_dsir = documents  # bind NOW, like the other gates
+
+            def s_dsir():
+                tgt = self.spark.read.parquet(
+                    dsir_opts_eff["target_path"]
+                ).select(F.col("text").alias(dsir_opts_eff["text_col"]))
+                scored = dsir_weights(
+                    docs_for_dsir, tgt,
+                    n_buckets=int(dsir_opts_eff["n_buckets"]),
+                    alpha=float(dsir_opts_eff["alpha"]),
+                    text_col=dsir_opts_eff["text_col"],
+                )
+                return scored.withColumn(
+                    "keep", F.col("avg_logratio") >= F.lit(dsir_floor)
+                )
+
+            dsir = self._stage(
+                "dsir", s_dsir,
+                meta={"gate": "dsir-hashed-bigram-v1",
+                      **{k: dsir_opts_eff[k]
+                         for k in ("target_path", "min_avg_logratio",
+                                   "n_buckets", "alpha", "text_col")}},
+            )
+            out["dsir"] = dsir
+            documents = documents.join(
+                dsir.filter("keep").select("doc_id"), "doc_id", "left_semi"
+            )
+        if until == "dsir":
+            if not cfg.enable_dsir:
+                raise ValueError(
+                    "run(until='dsir') requires cfg.enable_dsir=True "
+                    "(the gate is opt-in)"
+                )
+            _join_check()
+            self.flush_metrics()
+            return out
+
         # benchmark decontamination: probe every surviving doc's k-grams
         # against the Bloom bitmap of the benchmark set, drop docs whose
         # flagged ratio exceeds the bound. Zero joins, zero corpus text
@@ -948,6 +1029,12 @@ class NearDupPipeline:
                               **{k: ppl_opts_eff[k] for k in
                                  ("ppl_min", "ppl_max", "text_col")}}}
                          if cfg.enable_perplexity else {}),
+                      **({"dsir_gate": {
+                              "gate": "dsir-hashed-bigram-v1",
+                              **{k: dsir_opts_eff[k] for k in
+                                 ("target_path", "min_avg_logratio",
+                                  "n_buckets", "alpha", "text_col")}}}
+                         if cfg.enable_dsir else {}),
                       **({"decontaminate_gate": {
                               "gate": "bloom-decontaminate-v1",
                               **{k: decon_opts_eff[k]

@@ -852,6 +852,113 @@ class TestDecontaminateGate:
             NearDupPipeline(spark, cfg).run(docs=docs, until="decontaminate")
 
 
+class TestDsirGate:
+    """Opt-in DSIR importance-weight gate (enable_dsir): docs whose
+    hashed-bigram distribution is off-target score below the floor and
+    drop before any signature work; re-pointing/re-tuning one workdir
+    fails its resume loudly."""
+
+    N_ON, N_JUNK = 20, 10
+
+    @pytest.fixture(scope="class")
+    def planted(self, spark, tmp_path_factory):
+        vocab = [f"v{k}" for k in range(10)]
+
+        def on_target(i):
+            return " ".join(vocab[(i + j) % 10] for j in range(40))
+
+        rows = [(f"https://x.example/on{i}", on_target(i))
+                for i in range(self.N_ON)]
+        rows += [(f"https://x.example/junk{i}",
+                  " ".join(f"junk{i}w{j}" for j in range(40)))
+                 for i in range(self.N_JUNK)]
+        rows.append(("https://x.example/short", "lonely"))  # no bigrams
+        docs = spark.createDataFrame(rows, "url string, text string")
+        tgt_dir = str(tmp_path_factory.mktemp("dsirtgt") / "tgt.parquet")
+        spark.createDataFrame(
+            [(on_target(i + 3),) for i in range(10)], "text string"
+        ).write.parquet(tgt_dir)
+        ids = {r["url"]: r["id"] for r in docs.select(
+            "url", F.xxhash64("url").alias("id")).collect()}
+        return docs, tgt_dir, ids
+
+    @pytest.fixture(scope="class")
+    def gated(self, spark, planted, tmp_path_factory):
+        docs, tgt_dir, _ = planted
+        work = str(tmp_path_factory.mktemp("work_dsir"))
+        # n_buckets=64 keeps the Laplace mass (alpha * n_buckets) small
+        # next to this tiny fixture's gram totals — at the 4096 default
+        # the smoothing term would dominate both multinomials and skew
+        # every ratio by the corpus-size difference (a small-data
+        # artifact; real corpora dwarf alpha * n_buckets)
+        cfg = PipelineConfig(
+            workdir=work, enable_dsir=True,
+            dsir_opts={"target_path": tgt_dir, "min_avg_logratio": 0.0,
+                       "n_buckets": 64},
+        )
+        out = NearDupPipeline(spark, cfg).run(docs=docs, until="signatures")
+        return work, cfg, out
+
+    def test_scoring_and_gating(self, spark, planted, gated):
+        docs, _, ids = planted
+        _, _, out = gated
+        scored = {r["doc_id"]: r for r in out["dsir"].collect()}
+        on_ids = {ids[f"https://x.example/on{i}"] for i in range(self.N_ON)}
+        junk_ids = {ids[f"https://x.example/junk{i}"]
+                    for i in range(self.N_JUNK)}
+        short_id = ids["https://x.example/short"]
+        # the short doc has no bigrams -> no score row -> dropped
+        assert short_id not in scored
+        for d in on_ids:
+            assert scored[d]["keep"], scored[d]
+        for d in junk_ids:
+            assert not scored[d]["keep"], scored[d]
+            assert scored[d]["avg_logratio"] < 0
+        sigs = {r["doc_id"] for r in
+                out["signatures"].select("doc_id").collect()}
+        assert sigs == on_ids
+
+    def test_retune_or_toggle_fails_resume_loudly(self, spark, planted,
+                                                  gated):
+        docs, tgt_dir, _ = planted
+        work, _, _ = gated
+        cfg_bad = PipelineConfig(
+            workdir=work, enable_dsir=True,
+            dsir_opts={"target_path": tgt_dir, "min_avg_logratio": 1.0},
+        )
+        with pytest.raises(RuntimeError, match="incompatible configuration"):
+            NearDupPipeline(spark, cfg_bad).run(docs=docs, until="dsir")
+        with pytest.raises(RuntimeError, match="incompatible configuration"):
+            NearDupPipeline(spark, PipelineConfig(workdir=work)).run(
+                docs=docs, until="signatures")
+
+    def test_gated_resume_reads_checkpoint(self, spark, planted, gated):
+        docs, _, _ = planted
+        work, cfg, out = gated
+        pipe2 = NearDupPipeline(spark, cfg)
+        out2 = pipe2.run(docs=docs, until="signatures")
+        assert sorted(map(tuple, out["dsir"].collect())) == \
+            sorted(map(tuple, out2["dsir"].collect()))
+        rows = pipe2.metrics().collect()
+        assert any(r["stage"] == "dsir" and r["resumed"] for r in rows)
+
+    def test_until_requires_gate_and_opts(self, spark, planted,
+                                          tmp_path_factory):
+        docs, tgt_dir, _ = planted
+        work = str(tmp_path_factory.mktemp("work_nodsir"))
+        with pytest.raises(ValueError, match="enable_dsir"):
+            NearDupPipeline(spark, PipelineConfig(workdir=work)).run(
+                docs=docs, until="dsir")
+        with pytest.raises(ValueError, match="target_path"):
+            NearDupPipeline(spark, PipelineConfig(
+                workdir=work, enable_dsir=True)).run(docs=docs, until="dsir")
+        with pytest.raises(ValueError, match="min_avg_logratio"):
+            NearDupPipeline(spark, PipelineConfig(
+                workdir=work, enable_dsir=True,
+                dsir_opts={"target_path": tgt_dir})).run(
+                    docs=docs, until="dsir")
+
+
 class TestUnicodeNfcGate:
     """Opt-in Unicode NFC normalization of the dedup-facing text
     (unicode_nfc): canonically-equal but byte-different spellings become
@@ -1159,8 +1266,11 @@ class TestTierReportStage:
         out2 = pipe2.run(input_path=corpus_dir, until="tier_report")
         assert {(r["a"], r["b"], r["tier"])
                 for r in out2["tier_report"].collect()} == got
-        m = {r["stage"]: r["resumed"] for r in pipe2.metrics().collect()}
-        assert m["tier_report"] is True
+        # metrics files are uuid-named, so collect() order across the two
+        # runs' appends is nondeterministic — a {stage: resumed} dict was
+        # a coin flip between run 1's False and run 2's True row
+        assert any(r["stage"] == "tier_report" and r["resumed"]
+                   for r in pipe2.metrics().collect())
 
     def test_until_requires_optin(self, spark, corpus_dir, tmp_path_factory):
         work = str(tmp_path_factory.mktemp("work_tier_off"))
