@@ -549,6 +549,26 @@ def q_stratified_sample(spark, sf_dir):
     ).select("doc_id", "lang", "source", "sample_u", "sample_weight")
 
 
+def q_source_overlap(spark, sf_dir):
+    """Cross-source redundancy matrix over a planted recrawl: every 7th
+    doc re-enters the corpus under source='recrawl' (new ids, same
+    bytes), so each original source shows its exact share of
+    recrawl-duplicated mass. The oracle rebuilds the identical union and
+    derives the matrix via the classic (fp, source) self-join — an
+    independent formulation of the operator's array-pair expansion."""
+    from frizbee_spark.operators.textstats import source_overlap
+
+    d = _docs(spark, sf_dir).select("doc_id", "source", "text")
+    recrawl = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.lit("recrawl").alias("source"),
+        F.col("text"),
+    )
+    return source_overlap(d.unionByName(recrawl)).orderBy(
+        "source_a", "source_b"
+    )
+
+
 def q_dsir_weights(spark, sf_dir):
     """DSIR importance weights: every-10th doc plays the high-quality
     target set, the rest are the raw corpus scored by their
@@ -1077,6 +1097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "pack_sequences": q_pack_sequences,
         "dsir_weights": q_dsir_weights,
+        "source_overlap": q_source_overlap,
         "user_sessions": q_user_sessions,
         "event_rates": q_event_rates,
         "language_id": q_language_id,
@@ -1839,6 +1860,40 @@ def oracle_sql() -> dict[str, str]:
                    round(u / 1000000.0, 6) AS sample_u,
                    round(1000000.0 / thr, 6) AS sample_weight
             FROM s WHERE u < thr
+        """,
+        # identical planted-recrawl union; matrix derived via the classic
+        # (fp, source) self-join instead of the operator's array pairs
+        "source_overlap": """
+            WITH corpus AS (
+                SELECT doc_id, source, text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000, 'recrawl', text
+                FROM documents WHERE doc_id % 7 = 0
+            ),
+            per AS (
+                SELECT (('0x' || substr(md5(text), 1, 15))::UBIGINT)::BIGINT
+                           AS fp,
+                       source AS src, count(*)::BIGINT AS n
+                FROM corpus GROUP BY 1, 2
+            ),
+            tot AS (SELECT source AS src, count(*)::BIGINT AS total
+                    FROM corpus GROUP BY 1),
+            pairs AS (
+                SELECT a.src AS source_a, b.src AS source_b,
+                       count(*)::BIGINT AS shared_fingerprints,
+                       sum(a.n)::BIGINT AS docs_a_in_b,
+                       sum(b.n)::BIGINT AS docs_b_in_a
+                FROM per a JOIN per b ON a.fp = b.fp AND a.src < b.src
+                GROUP BY 1, 2
+            )
+            SELECT source_a, source_b, shared_fingerprints,
+                   docs_a_in_b, docs_b_in_a,
+                   round(docs_a_in_b * 1.0 / ta.total, 6) AS frac_a,
+                   round(docs_b_in_a * 1.0 / tb.total, 6) AS frac_b
+            FROM pairs
+            JOIN tot ta ON ta.src = source_a
+            JOIN tot tb ON tb.src = source_b
+            ORDER BY source_a, source_b
         """,
         # same hashed-bigram buckets, Laplace multinomials, and
         # 6-decimal/decimal-sum discipline re-derived in DuckDB

@@ -117,6 +117,96 @@ def doc_fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text
     return df.select(F.col(id_col), fp.alias("fingerprint"))
 
 
+def source_overlap(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-source redundancy matrix — the report a curation pipeline
+    runs BEFORE mixing corpora: for every unordered source pair (a, b),
+    how much of a is byte-identical content that also appears in b (a
+    Common-Crawl snapshot re-crawling a news site, a books corpus that
+    partially ships inside a web dump — double-counted mass that skews
+    mixing weights and leaks across train/eval source splits).
+
+    Content identity is :func:`doc_fingerprint`'s portable md5 long.
+    Per pair: ``shared_fingerprints`` (distinct contents present in
+    BOTH), ``docs_a_in_b`` / ``docs_b_in_a`` (doc counts on each side
+    whose content the other source also has), and ``frac_a`` /
+    ``frac_b`` (those counts over each source's total doc count,
+    rounded to 6 — the "x% of a is already in b" number people quote).
+    ``source_a < source_b`` lexicographically; pairs with no overlap
+    don't appear.
+
+    Plan shape (scale notes): one map-side-combined aggregate to
+    (fingerprint, source, n) — text is hashed in the scan and never
+    shuffles — then one fingerprint-keyed aggregate collecting each
+    content's per-source counts (bounded by the SOURCE CARDINALITY, a
+    few hundred at worst — never by doc count), pair expansion via
+    higher-order array functions (no self-join re-shuffle: the classic
+    SQL formulation self-joins the (fp, source) table on fp, which
+    shuffles it twice; the DuckDB oracle does exactly that as an
+    independent derivation), and a final tiny aggregate keyed by source
+    pair. Per-source totals ride in as a broadcast join of a
+    #sources-row table.
+    """
+    fp = F.conv(
+        F.substring(F.md5(F.col(text_col)), 1, 15), 16, 10
+    ).cast("long")
+    per = (
+        df.select(F.col(source_col).alias("src"), fp.alias("fp"))
+        .groupBy("fp", "src").agg(F.count("*").alias("n"))
+    )
+    grouped = (
+        per.groupBy("fp")
+        .agg(F.sort_array(F.collect_list(F.struct("src", "n"))).alias("ss"))
+        .filter(F.size("ss") > 1)
+    )
+    # all ordered pairs i < j of the per-source structs — sources per
+    # fingerprint are bounded by source cardinality, so the expansion is
+    # O(k^2) with tiny k, flat-mapped in one projection
+    idx = F.sequence(F.lit(1), F.size("ss"))
+    pairs = grouped.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    idx,
+                    lambda i: F.transform(
+                        F.slice(F.col("ss"), i + 1, F.size("ss")),
+                        lambda right: F.struct(
+                            F.element_at(F.col("ss"), i)["src"]
+                                .alias("source_a"),
+                            right["src"].alias("source_b"),
+                            F.element_at(F.col("ss"), i)["n"].alias("na"),
+                            right["n"].alias("nb"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.*")
+    agg = pairs.groupBy("source_a", "source_b").agg(
+        F.count("*").alias("shared_fingerprints"),
+        F.sum("na").alias("docs_a_in_b"),
+        F.sum("nb").alias("docs_b_in_a"),
+    )
+    totals = df.groupBy(F.col(source_col).alias("src")).agg(
+        F.count("*").alias("total")
+    )
+    return (
+        agg.join(F.broadcast(totals.withColumnsRenamed(
+            {"src": "source_a", "total": "_ta"})), "source_a")
+        .join(F.broadcast(totals.withColumnsRenamed(
+            {"src": "source_b", "total": "_tb"})), "source_b")
+        .select(
+            "source_a", "source_b", "shared_fingerprints",
+            "docs_a_in_b", "docs_b_in_a",
+            F.round(F.col("docs_a_in_b") / F.col("_ta"), 6).alias("frac_a"),
+            F.round(F.col("docs_b_in_a") / F.col("_tb"), 6).alias("frac_b"),
+        )
+    )
+
+
 def _kgram_col(text_col: str, k: int):
     """Array of the k-token grams of ``text_col`` (distinct, in-order
     positions 1..max(n_tokens-k+1, 1) — the clamp keeps short docs

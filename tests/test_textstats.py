@@ -797,3 +797,56 @@ class TestDsirWeights:
             dsir_weights(d, d, n_buckets=0)
         with pytest.raises(ValueError):
             dsir_weights(d, d, alpha=0.0)
+
+
+class TestSourceOverlap:
+    def test_matrix_counts_and_fracs(self, spark):
+        from frizbee_spark.operators.textstats import source_overlap
+
+        rows = [
+            (1, "cc", "dup one"), (2, "cc", "dup two"), (3, "cc", "uniq cc"),
+            (4, "news", "dup one"), (5, "news", "dup one"),
+            (6, "news", "uniq news"),
+            (7, "books", "dup two"), (8, "books", "uniq books"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+        got = {(r["source_a"], r["source_b"]): r
+               for r in source_overlap(df).collect()}
+        assert set(got) == {("books", "cc"), ("cc", "news")}
+        bc = got[("books", "cc")]
+        assert (bc["shared_fingerprints"], bc["docs_a_in_b"],
+                bc["docs_b_in_a"]) == (1, 1, 1)
+        assert (bc["frac_a"], bc["frac_b"]) == (0.5, 0.333333)
+        cn = got[("cc", "news")]
+        # "dup one" appears twice in news: doc counts, not fp counts
+        assert (cn["shared_fingerprints"], cn["docs_a_in_b"],
+                cn["docs_b_in_a"]) == (1, 1, 2)
+        assert (cn["frac_a"], cn["frac_b"]) == (0.333333, 0.666667)
+
+    def test_three_way_shared_content_pairs_all(self, spark):
+        from frizbee_spark.operators.textstats import source_overlap
+
+        df = spark.createDataFrame(
+            [(1, "a", "x"), (2, "b", "x"), (3, "c", "x")],
+            "doc_id long, source string, text string")
+        got = {(r["source_a"], r["source_b"])
+               for r in source_overlap(df).collect()}
+        assert got == {("a", "b"), ("a", "c"), ("b", "c")}
+
+    def test_no_overlap_empty(self, spark):
+        from frizbee_spark.operators.textstats import source_overlap
+
+        df = spark.createDataFrame(
+            [(1, "a", "only a"), (2, "b", "only b")],
+            "doc_id long, source string, text string")
+        assert source_overlap(df).count() == 0
+
+    def test_totals_join_is_broadcast(self, spark):
+        from frizbee_spark.operators.textstats import source_overlap
+
+        df = spark.createDataFrame(
+            [(1, "a", "x"), (2, "b", "x")],
+            "doc_id long, source string, text string")
+        plan = (source_overlap(df)._jdf.queryExecution()
+                .executedPlan().toString())
+        assert "BroadcastHashJoin" in plan
