@@ -678,6 +678,30 @@ class TestBloomDecontaminate:
         # this is a real Bloom filter, not the join in disguise
         assert len(small) > len(exact)
 
+    def test_xxhash64_fast_path_equals_exact_join(self, split):
+        # the production hash choice changes bit positions, not
+        # semantics: at FP-free sizing it must flag the identical set
+        from frizbee_spark.operators.textstats import (
+            bloom_decontaminate,
+            ngram_contamination,
+        )
+
+        bench, corpus = split
+        exact = {(r.doc_id, r.n_grams, r.n_contaminated_grams)
+                 for r in ngram_contamination(corpus, bench, k=8).collect()}
+        fast = {(r.doc_id, r.n_grams, r.n_flagged_grams)
+                for r in bloom_decontaminate(
+                    corpus, bench, k=8, m_bits=1 << 20, n_hashes=5,
+                    hash_fn="xxhash64").collect()}
+        assert fast == exact
+
+    def test_bad_hash_fn_rejected(self, split):
+        from frizbee_spark.operators.textstats import bloom_decontaminate
+
+        bench, corpus = split
+        with pytest.raises(ValueError, match="hash_fn"):
+            bloom_decontaminate(corpus, bench, hash_fn="sha1")
+
     def test_empty_benchmark_flags_nothing(self, spark, split):
         from frizbee_spark.operators.textstats import bloom_decontaminate
 
