@@ -585,6 +585,16 @@ def q_dsir_weights(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_perplexity_buckets(spark, sf_dir):
+    """CCNet head/middle/tail: per-language perplexity terciles under
+    the corpus-trained bigram LM; NTILE over the (perplexity, doc_id)
+    total order — both engines share the standard remainder rule, so
+    bucket assignment hash-matches."""
+    from frizbee_spark.operators.textstats import perplexity_buckets
+
+    return perplexity_buckets(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
 def q_pack_sequences(spark, sf_dir):
     """Concat-and-chunk training-sequence packing manifest (seq_len=256,
     4 shards): per doc, the shard-local sequence range its tokens span
@@ -1098,6 +1108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "dsir_weights": q_dsir_weights,
         "source_overlap": q_source_overlap,
+        "perplexity_buckets": q_perplexity_buckets,
         "user_sessions": q_user_sessions,
         "event_rates": q_event_rates,
         "language_id": q_language_id,
@@ -1965,6 +1976,47 @@ def oracle_sql() -> dict[str, str]:
                    (tok_offset + n_tokens - 1) // 256 AS seq_last,
                    tok_offset % 256 AS seq_offset
             FROM c ORDER BY doc_id
+        """,
+        # lm_perplexity's oracle nested as a CTE + the same NTILE over
+        # (perplexity, doc_id) — bucket rule is the shared SQL standard
+        "perplexity_buckets": """
+            WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS w
+                       FROM documents),
+            big AS (
+                SELECT doc_id, w[i] || ' ' || w[i + 1] AS bg
+                FROM t, unnest(generate_series(1, len(w) - 1)) AS s(i)
+            ),
+            uni AS (
+                SELECT u AS w1, count(*)::BIGINT AS c1
+                FROM t, unnest(w) AS s(u) GROUP BY 1
+            ),
+            v AS (SELECT count(*)::BIGINT AS vsz FROM uni),
+            model AS (
+                SELECT bgc.bg,
+                       CAST(round(log2(bgc.c12 + 1) - log2(uni.c1 + v.vsz), 6)
+                            AS DECIMAL(20,6)) AS lp
+                FROM (SELECT bg, count(*)::BIGINT AS c12 FROM big GROUP BY 1) bgc
+                JOIN uni ON uni.w1 = split_part(bgc.bg, ' ', 1)
+                CROSS JOIN v
+            ),
+            scored AS (
+                SELECT b.doc_id, count(*)::BIGINT AS n_bigrams,
+                       round(pow(2.0, round(-CAST(sum(m.lp) AS DOUBLE)
+                                            / count(*), 4)), 4) AS perplexity
+                FROM big b JOIN model m USING (bg)
+                GROUP BY 1
+            ),
+            ranked AS (
+                SELECT s.doc_id, d.lang, s.n_bigrams, s.perplexity,
+                       ntile(3) OVER (PARTITION BY d.lang
+                                      ORDER BY s.perplexity, s.doc_id)
+                           ::BIGINT AS ppl_bucket
+                FROM scored s JOIN documents d USING (doc_id)
+            )
+            SELECT doc_id, lang, n_bigrams, perplexity, ppl_bucket,
+                   CASE ppl_bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                        ELSE 'tail' END AS ppl_tier
+            FROM ranked ORDER BY doc_id
         """,
         "lm_perplexity": """
             WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS w

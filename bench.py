@@ -196,7 +196,7 @@ def main() -> None:
             "minhash_jaccard_est",
             "corpus_filter", "tfidf_topterms", "lm_perplexity",
             "stratified_sample", "pack_sequences", "dsir_weights",
-            "source_overlap",
+            "source_overlap", "perplexity_buckets",
             "user_sessions", "event_rates",
             "fuzzy_join", "shingle_containment_pairs",
             "candidate_tiers", "curation_rollup", "dedup_rewrite",

@@ -1109,6 +1109,60 @@ def lm_perplexity(
     )
 
 
+def perplexity_buckets(
+    df: DataFrame,
+    n_buckets: int = 3,
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet's head/middle/tail split: per language, rank docs by
+    :func:`lm_perplexity` and cut the ranking into ``n_buckets`` equal
+    tiles — CCNet (Wenzek et al. 2020, arXiv:1911.00359) publishes its
+    corpus in exactly these per-language perplexity terciles, and
+    downstream pipelines sample "head-heavy" mixes from them.
+
+    Output: (doc_id, lang, n_bigrams, perplexity, ppl_bucket 1..n,
+    ppl_tier) — ``ppl_tier`` is head/middle/tail for the default 3
+    buckets, ``b<k>`` otherwise. Lowest perplexity = head (the fluent
+    end). Docs with < 2 tokens have no bigrams, hence no score: excluded
+    (same contract as lm_perplexity). NTILE over the total order
+    (perplexity, doc_id) — the id tie-break makes bucket assignment
+    deterministic, and both engines share the standard "first buckets
+    take the remainder" distribution rule, so the oracle hash-matches.
+
+    Scale note: the tile window sorts each language inside one
+    partition — exact terciles are a per-language total order by
+    definition. CCNet itself computes cutoffs per SHARD and applies them
+    shard-locally; at 10^12 docs do the same (pre-shard, pass each shard
+    through this operator) or derive approximate cutoffs once and label
+    by comparison. The model build underneath is the same two
+    map-side-combined aggregates as lm_perplexity; text never enters the
+    window — only (doc_id, lang, score) rows shuffle.
+    """
+    if n_buckets <= 0:
+        raise ValueError(f"n_buckets must be positive, got {n_buckets}")
+    from pyspark.sql import Window
+
+    scored = lm_perplexity(df, id_col=id_col, text_col=text_col)
+    withlang = scored.join(
+        df.select(F.col(id_col).alias("doc_id"),
+                  F.col(lang_col).alias("lang")),
+        "doc_id",
+    )
+    w = Window.partitionBy("lang").orderBy("perplexity", "doc_id")
+    b = F.ntile(n_buckets).over(w)
+    if n_buckets == 3:
+        tier = (F.when(b == 1, "head").when(b == 2, "middle")
+                .otherwise("tail"))
+    else:
+        tier = F.concat(F.lit("b"), b.cast("string"))
+    return withlang.select(
+        "doc_id", "lang", "n_bigrams", "perplexity",
+        b.cast("long").alias("ppl_bucket"), tier.alias("ppl_tier"),
+    )
+
+
 def dsir_weights(
     df: DataFrame,
     target: DataFrame,

@@ -874,3 +874,49 @@ class TestSourceOverlap:
         plan = (source_overlap(df)._jdf.queryExecution()
                 .executedPlan().toString())
         assert "BroadcastHashJoin" in plan
+
+
+class TestPerplexityBuckets:
+    @pytest.fixture(scope="class")
+    def scored(self, spark):
+        from frizbee_spark.operators.textstats import perplexity_buckets
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet")
+        return perplexity_buckets(docs).toPandas()
+
+    def test_tercile_sizes_follow_remainder_rule(self, scored):
+        for lang, g in scored.groupby("lang"):
+            n = len(g)
+            sizes = g.ppl_bucket.value_counts().sort_index().tolist()
+            base, rem = divmod(n, 3)
+            expect = [base + (1 if i < rem else 0) for i in range(3)]
+            assert sizes == expect, (lang, sizes, expect)
+
+    def test_head_is_the_fluent_end(self, scored):
+        for lang, g in scored.groupby("lang"):
+            if set(g.ppl_bucket) == {1, 2, 3}:
+                assert (g[g.ppl_bucket == 1].perplexity.max()
+                        <= g[g.ppl_bucket == 2].perplexity.min())
+                assert (g[g.ppl_bucket == 2].perplexity.max()
+                        <= g[g.ppl_bucket == 3].perplexity.min())
+
+    def test_tier_labels(self, scored):
+        m = dict(zip(scored.ppl_bucket, scored.ppl_tier))
+        assert m == {1: "head", 2: "middle", 3: "tail"}
+
+    def test_custom_bucket_count_labels(self, spark):
+        from frizbee_spark.operators.textstats import perplexity_buckets
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet")
+        out = perplexity_buckets(docs, n_buckets=5).toPandas()
+        assert set(out.ppl_tier) <= {f"b{i}" for i in range(1, 6)}
+
+    def test_validation(self, spark):
+        from frizbee_spark.operators.textstats import perplexity_buckets
+
+        docs = spark.createDataFrame(
+            [(1, "en", "a b")], "doc_id long, lang string, text string")
+        with pytest.raises(ValueError):
+            perplexity_buckets(docs, n_buckets=0)
