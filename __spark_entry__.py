@@ -608,6 +608,93 @@ def q_pack_sequences(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_budget_select(spark, sf_dir):
+    """Greedy token-budget selection: rank docs by n_chars DESC (id
+    tiebreak — char-length ties are common, so the tiebreak binds) and
+    keep the maximal prefix whose whitespace-token running sum stays
+    within 12k tokens (~40% of the fixture's mass, so the cut lands
+    mid-corpus at every SF). The operator is the two-pass distributed
+    prefix sum (range shuffle + driver offsets + Arrow carry pass) —
+    the oracle is the single global window it replaces, so any drift in
+    partition offsets, batch carry, or the strict-prefix stop rule
+    hash-fails. All-integer arithmetic."""
+    from frizbee_spark.operators.packing import select_to_budget
+
+    d = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    base = d.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+            .cast("long").alias("n_tokens"),
+    )
+    return (
+        select_to_budget(
+            base, budget=12_000, weight_col="n_chars", cost_col="n_tokens"
+        )
+        .withColumnRenamed("weight", "n_chars")
+        .withColumnRenamed("cost", "n_tokens")
+        .orderBy("sel_rank")
+    )
+
+
+def q_extract_links(spark, sf_dir):
+    """Outlink extraction over a deterministic anchor fixture built from
+    the docs table: each doc page carries an absolute https link (host
+    h{doc_id%23}.example with a port to strip and mixed-case authority),
+    a relative href (host must come back ''), a mixed-case <A HREF>
+    every 2nd doc, and a non-link <a name=...> decoy. The oracle runs
+    the identical regexp_extract_all in DuckDB and zips parallel unnests
+    for the 1-based link ordinal — drift in the anchor regex, ordinal
+    numbering, or host lowering/port-stripping hash-fails."""
+    from frizbee_spark.operators.webnorm import extract_links
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id").cast("string")
+    host_n = (F.col("doc_id") % 23).cast("string")
+    html = F.concat(
+        F.lit('<p>see <a href="https://H'), host_n,
+        F.lit(".Example:8443/p/"), did, F.lit('?q=1">x</a> and '),
+        F.lit('<a name="anchor-'), did, F.lit('">decoy</a> '),
+        F.lit('<a class="m" href="/rel/'), did, F.lit('">rel</a>'),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit('<A HREF="http://mirror-'), host_n,
+                     F.lit('.example/m">m</A>')),
+        ).otherwise(F.lit("")),
+        F.lit("</p>"),
+    )
+    return extract_links(
+        d.select("doc_id", html.alias("html"))
+    ).orderBy("doc_id", "link_n")
+
+
+def q_host_pagerank(spark, sf_dir):
+    """Fixed-point integer PageRank (10 iterations, d=0.85, mass scale
+    10^12) over a deterministic host graph derived from doc_ids: doc i
+    contributes edges h(i%23) -> h((7i+3)%23) and h(i%23) -> h((3i+11)%23),
+    deduplicated, self-loops dropped. Every step is long arithmetic
+    (DIV/*/+; order-independent sums), so a 10-step iterative algorithm
+    has an exact value-hash oracle: the SQL unrolls the ten updates as
+    chained CTEs with the same dangling-mass redistribution. Catches
+    drift in the update rule, dangling handling, degree computation, or
+    integer-division semantics."""
+    from frizbee_spark.operators.graph import host_pagerank
+
+    d = _docs(spark, sf_dir)
+    src = F.concat(F.lit("h"), (F.col("doc_id") % 23).cast("string"))
+    e1 = d.select(
+        src.alias("src"),
+        F.concat(F.lit("h"), ((F.col("doc_id") * 7 + 3) % 23).cast("string"))
+            .alias("dst"),
+    )
+    e2 = d.select(
+        src.alias("src"),
+        F.concat(F.lit("h"), ((F.col("doc_id") * 3 + 11) % 23).cast("string"))
+            .alias("dst"),
+    )
+    return host_pagerank(e1.unionByName(e2), n_iter=10).orderBy("host")
+
+
 def q_lm_perplexity(spark, sf_dir):
     """Bigram-LM cross-entropy/perplexity per doc under a Laplace-smoothed
     model trained on the corpus itself — the CCNet/Gopher-style
@@ -1106,6 +1193,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": q_lm_perplexity,
         "stratified_sample": q_stratified_sample,
         "pack_sequences": q_pack_sequences,
+        "budget_select": q_budget_select,
+        "extract_links": q_extract_links,
+        "host_pagerank": q_host_pagerank,
         "dsir_weights": q_dsir_weights,
         "source_overlap": q_source_overlap,
         "perplexity_buckets": q_perplexity_buckets,
@@ -1235,6 +1325,60 @@ def _sql_oracles():
     from frizbee_spark.functions import sql_oracles
 
     return sql_oracles
+
+
+def _pagerank_oracle_sql(n_iter: int = 10, scale: int = 10**12,
+                         d: int = 85) -> str:
+    """Unrolled-CTE twin of q_host_pagerank: the same fixed-point integer
+    update chained ``n_iter`` times. Possible only because every step is
+    long arithmetic — order-independent sums make an iterative algorithm
+    value-hash checkable."""
+    head = f"""
+        WITH raw AS MATERIALIZED (
+            SELECT 'h' || (doc_id % 23)::VARCHAR AS src,
+                   'h' || ((doc_id * 7 + 3) % 23)::VARCHAR AS dst
+            FROM documents
+            UNION ALL
+            SELECT 'h' || (doc_id % 23)::VARCHAR,
+                   'h' || ((doc_id * 3 + 11) % 23)::VARCHAR
+            FROM documents
+        ),
+        edges AS MATERIALIZED (SELECT DISTINCT src, dst
+                               FROM raw WHERE src <> dst),
+        nodes AS MATERIALIZED (SELECT src AS h FROM edges UNION SELECT dst FROM edges),
+        nn AS MATERIALIZED (SELECT count(*)::BIGINT AS n FROM nodes),
+        deg AS MATERIALIZED (SELECT src AS h, count(*)::BIGINT AS od
+                FROM edges GROUP BY src),
+        r0 AS MATERIALIZED (SELECT nodes.h,
+                      (CAST({scale} AS BIGINT) // nn.n)::BIGINT AS r
+               FROM nodes, nn)"""
+    iters = []
+    for i in range(1, n_iter + 1):
+        p = i - 1
+        iters.append(f"""
+        dang{i} AS MATERIALIZED (
+            SELECT COALESCE(SUM(r.r), 0)::BIGINT AS dm
+            FROM r{p} r LEFT JOIN deg ON r.h = deg.h
+            WHERE deg.h IS NULL
+        ),
+        inc{i} AS MATERIALIZED (
+            SELECT e.dst AS h, SUM(r.r // deg.od)::BIGINT AS s
+            FROM edges e
+            JOIN r{p} r ON e.src = r.h
+            JOIN deg ON deg.h = e.src
+            GROUP BY e.dst
+        ),
+        r{i} AS MATERIALIZED (
+            SELECT n.h,
+                   (({100 - d}) * (CAST({scale} AS BIGINT) // nn.n)
+                    + {d} * (COALESCE(i.s, 0) + dang{i}.dm // nn.n)
+                   ) // 100 AS r
+            FROM nodes n CROSS JOIN nn CROSS JOIN dang{i}
+            LEFT JOIN inc{i} i ON n.h = i.h
+        )""")
+    return (head + "," + ",".join(iters)
+            + f"\n        SELECT h AS host, r AS rank_u"
+              f" FROM r{n_iter} ORDER BY host")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1954,6 +2098,64 @@ def oracle_sql() -> dict[str, str]:
         """,
         # same md5 shard hash, running sum, and integer DIV/% — the
         # manifest must match bit-for-bit
+        # the two-pass distributed prefix sum vs the single global
+        # window it replaces — same total order, same strict-prefix rule
+        "budget_select": """
+            WITH t AS (
+                SELECT doc_id, n_chars::BIGINT AS n_chars,
+                       len(string_split(trim(text), ' '))::BIGINT AS n_tokens
+                FROM documents WHERE text IS NOT NULL
+            ),
+            w AS (
+                SELECT doc_id, n_chars, n_tokens,
+                       SUM(n_tokens) OVER (
+                           ORDER BY n_chars DESC, doc_id)::BIGINT AS cum_cost,
+                       ROW_NUMBER() OVER (
+                           ORDER BY n_chars DESC, doc_id)::BIGINT AS sel_rank
+                FROM t
+            )
+            SELECT doc_id, n_chars, n_tokens, cum_cost, sel_rank
+            FROM w WHERE cum_cost <= 12000 ORDER BY sel_rank
+        """,
+        # identical anchor regex + parallel-unnest zip for the ordinal;
+        # host lowering/port-strip shares the domain operators' regex
+        "extract_links": r"""
+            WITH pages AS (
+                SELECT doc_id,
+                    '<p>see <a href="https://H' || (doc_id % 23)::VARCHAR
+                    || '.Example:8443/p/' || doc_id::VARCHAR
+                    || '?q=1">x</a> and '
+                    || '<a name="anchor-' || doc_id::VARCHAR
+                    || '">decoy</a> '
+                    || '<a class="m" href="/rel/' || doc_id::VARCHAR
+                    || '">rel</a>'
+                    || CASE WHEN doc_id % 2 = 0
+                            THEN '<A HREF="http://mirror-'
+                                 || (doc_id % 23)::VARCHAR
+                                 || '.example/m">m</A>'
+                            ELSE '' END
+                    || '</p>' AS html
+                FROM documents
+            ),
+            l AS (
+                SELECT doc_id,
+                       regexp_extract_all(html,
+                           '(?i)<a\s[^>]*href\s*=\s*"([^"]*)"', 1) AS ls
+                FROM pages
+            ),
+            x AS (
+                SELECT doc_id,
+                       unnest(range(1, len(ls) + 1))::BIGINT AS link_n,
+                       unnest(ls) AS href
+                FROM l
+            )
+            SELECT doc_id, link_n, href,
+                   regexp_replace(lower(regexp_extract(href,
+                       '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?(#.*)?$',
+                       2)), ':[0-9]+$', '') AS host
+            FROM x ORDER BY doc_id, link_n
+        """,
+        "host_pagerank": _pagerank_oracle_sql(),
         "pack_sequences": """
             WITH t AS (
                 SELECT doc_id,

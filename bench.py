@@ -197,6 +197,7 @@ def main() -> None:
             "corpus_filter", "tfidf_topterms", "lm_perplexity",
             "stratified_sample", "pack_sequences", "dsir_weights",
             "source_overlap", "perplexity_buckets",
+            "budget_select", "extract_links", "host_pagerank",
             "user_sessions", "event_rates",
             "fuzzy_join", "shingle_containment_pairs",
             "candidate_tiers", "curation_rollup", "dedup_rewrite",

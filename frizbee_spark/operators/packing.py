@@ -106,3 +106,124 @@ def pack_sequences(
         F.expr(f"(tok_offset + n_tokens - 1) DIV {seq_len}").alias("seq_last"),
         (F.col("tok_offset") % seq_len).alias("seq_offset"),
     )
+
+
+def select_to_budget(
+    df: DataFrame,
+    budget: int,
+    weight_col: str,
+    cost_col: str,
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Greedy budget selection: rank documents by ``weight_col``
+    (descending, ties broken by ``id_col``) and keep the maximal prefix
+    whose running ``cost_col`` sum stays within ``budget`` — how a
+    training mix is actually cut ("the best N billion tokens by quality
+    score"). The rule is the strict prefix: selection stops at the first
+    document that overflows the budget, even if a later, cheaper one
+    would still fit (the deterministic knapsack relaxation every
+    curation pipeline uses; re-ranking around the boundary is a policy
+    choice left to the caller's weight).
+
+    Output (selected rows only): id, ``weight``, ``cost`` (cast long),
+    ``cum_cost`` (inclusive running sum), ``sel_rank`` (1-based position
+    in the total order). All arithmetic is integer, so the oracle
+    compare is exact.
+
+    Scale story — a running sum over a total order is the textbook
+    one-partition trap (a global ``Window.orderBy`` moves the corpus to
+    ONE task). This operator is the classic two-pass distributed prefix
+    sum instead:
+
+      1. range-shuffle on (weight DESC, id) + sort within partitions —
+         the only exchange, and the range partitioner keeps it balanced;
+      2. a per-partition cost/count aggregate (tiny: one row per
+         partition) is collected and prefix-summed on the driver into
+         per-partition offsets;
+      3. partitions whose offset already exceeds the budget are pruned
+         BEFORE the final pass (a small budget over a huge corpus scans
+         only the head partitions);
+      4. an Arrow ``mapInPandas`` pass streams each surviving partition
+         in order, carrying the running sum across batches from the
+         partition's offset — no further shuffle, no driver data motion.
+
+    The intermediate is ``tracked_persist``-ed (two passes read it);
+    the unit-of-work owner releases it via ``release_tracked``.
+    Rows with NULL weight or cost are dropped (a curation pipeline has
+    already filtered them; a NULL would poison the running sum).
+    """
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    from pyspark import TaskContext
+
+    from ..util import tracked_persist
+
+    spark = df.sparkSession
+    n_parts = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    base = (
+        df.filter(F.col(weight_col).isNotNull() & F.col(cost_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.col(weight_col).alias("weight"),
+            F.col(cost_col).cast("long").alias("cost"),
+        )
+    )
+    ranged = tracked_persist(
+        base.repartitionByRange(n_parts, F.desc("weight"), F.asc(id_col))
+        .sortWithinPartitions(F.desc("weight"), F.asc(id_col))
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    stats = {
+        r["_pid"]: (r["c"], r["n"])
+        for r in ranged.groupBy("_pid")
+        .agg(F.sum("cost").alias("c"), F.count("*").alias("n"))
+        .collect()
+    }
+    cost_off: dict[int, int] = {}
+    rank_off: dict[int, int] = {}
+    cum_c = cum_n = 0
+    keep_pids = []
+    for pid in sorted(stats):
+        cost_off[pid] = cum_c
+        rank_off[pid] = cum_n
+        if cum_c <= budget:  # partition may still contribute rows
+            keep_pids.append(pid)
+        c, n = stats[pid]
+        cum_c += c
+        cum_n += n
+    id_type = dict(base.dtypes)[id_col]
+    w_type = dict(ranged.dtypes)["weight"]
+    schema = (
+        f"`{id_col}` {id_type}, weight {w_type}, cost long, "
+        "cum_cost long, sel_rank long"
+    )
+
+    def run(batches):
+        import pandas as pd  # noqa: F401 (worker-side import)
+
+        pid = TaskContext.get().partitionId()
+        cum = cost_off.get(pid, 0)
+        rank = rank_off.get(pid, 0)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            cums = cum + pdf["cost"].cumsum()
+            ranks = rank + pd.RangeIndex(1, len(pdf) + 1)
+            cum = int(cums.iloc[-1])
+            rank += len(pdf)
+            keep = cums <= budget
+            if keep.any():
+                out = pdf.loc[keep, [id_col, "weight", "cost"]].copy()
+                out["cum_cost"] = cums[keep]
+                out["sel_rank"] = pd.Series(ranks, index=pdf.index)[keep]
+                yield out
+            if cum > budget:  # strict prefix: nothing later can enter
+                return
+
+    pruned = ranged.filter(F.col("_pid").isin(keep_pids)) if keep_pids else (
+        ranged.filter(F.lit(False))
+    )
+    return pruned.mapInPandas(run, schema=schema)

@@ -371,3 +371,65 @@ def unicode_norm_udf(form: str = "NFC"):
         return pd.Series(vals)
 
     return _norm
+
+
+# anchor-tag href extractor — (?i) inline flag and the [^>"]-free body are
+# in the Java/RE2-common subset; group 1 is the quoted href value. Shared
+# verbatim with the DuckDB oracle.
+ANCHOR_HREF_RE = r'(?i)<a\s[^>]*href\s*=\s*"([^"]*)"'
+
+
+def extract_links(df: DataFrame, id_col: str = "doc_id",
+                  html_col: str = "html") -> DataFrame:
+    """Outlink extraction — the other half of the WARC stage next to
+    :func:`html_extract`: every crawl pipeline that ranks hosts (URL
+    frontier priority, spam/host-quality priors like Common Crawl's
+    harmonic-centrality lists) starts from the anchor ``href`` values of
+    each page.
+
+    Emits one row per ``<a href="...">`` occurrence, in document order:
+    (id, link_n 1-based, href verbatim, host) — ``host`` is the
+    lowercased, port-stripped authority when the href is absolute
+    (same :func:`host_of` expression the domain operators use) and ``''``
+    for relative/other hrefs (no base-URL resolution: the crawler knows
+    the base; a corpus-side operator must not guess — documented, and
+    '' rows are what a host-graph builder drops).
+
+    Zero shuffle: regexp_extract_all + posexplode is a per-row generator
+    fused into the scan; at 100 TB this runs at parquet-read speed and
+    the output is (id, small strings) — the html column never moves.
+    Built-in Spark SQL only (Java/RE2-common regex), so the operator has
+    an exact DuckDB oracle (parallel-unnest zip of the same
+    regexp_extract_all).
+    """
+    links = F.regexp_extract_all(
+        F.col(html_col), F.lit(ANCHOR_HREF_RE), F.lit(1))
+    exploded = df.select(
+        F.col(id_col), F.posexplode(links).alias("_pos", "href"))
+    return exploded.select(
+        id_col,
+        (F.col("_pos") + 1).cast("long").alias("link_n"),
+        "href",
+        F.regexp_replace(
+            F.lower(F.regexp_extract(F.col("href"), URL_RE, 2)),
+            ":[0-9]+$", "").alias("host"),
+    )
+
+
+def host_graph(links: DataFrame, src_host_col: str = "src_host",
+               link_host_col: str = "host") -> DataFrame:
+    """Collapse per-page outlinks into the distinct host→host edge list
+    PageRank consumes: rows with an empty/unparseable link host are
+    dropped (relative links — intra-host by definition), self-loops are
+    dropped (standard for centrality), and (src, dst) is deduplicated
+    (host-level PageRank weights each host pair once, not per anchor).
+    One map-side-combined distinct on small string pairs.
+    """
+    return (
+        links.select(
+            F.col(src_host_col).alias("src"),
+            F.col(link_host_col).alias("dst"),
+        )
+        .filter((F.col("dst") != "") & (F.col("src") != F.col("dst")))
+        .distinct()
+    )

@@ -400,3 +400,43 @@ class TestWetExtractorGate:
             NearDupPipeline(spark, PipelineConfig(
                 workdir=work, extractor="trafilatura")).run(
                     input_path=corpus_dir, until="documents")
+
+
+@pytest.mark.spark
+class TestExtractLinks:
+    HTML = (
+        '<html><body><p>intro <a href="https://A.Example:8080/x?q=1">one'
+        '</a> mid <A CLASS="z" HREF="/relative/2">two</A> tail '
+        '<a rel="nofollow" href="http://b.example/y#frag">three</a>'
+        '<a name="no-href-here">not a link</a></p></body></html>'
+    )
+
+    def _one(self, spark):
+        from frizbee_spark.operators.webnorm import extract_links
+
+        df = spark.createDataFrame([(7, self.HTML)], "doc_id long, html string")
+        return extract_links(df).orderBy("link_n").collect()
+
+    def test_document_order_and_hosts(self, spark):
+        rows = self._one(spark)
+        assert [(r.link_n, r.href, r.host) for r in rows] == [
+            (1, "https://A.Example:8080/x?q=1", "a.example"),
+            (2, "/relative/2", ""),
+            (3, "http://b.example/y#frag", "b.example"),
+        ]
+
+    def test_no_links_no_rows(self, spark):
+        from frizbee_spark.operators.webnorm import extract_links
+
+        df = spark.createDataFrame(
+            [(1, "<p>plain, no anchors</p>"), (2, None)],
+            "doc_id long, html string",
+        )
+        assert extract_links(df).count() == 0
+
+    def test_zero_shuffle_plan(self, spark):
+        from frizbee_spark.operators.webnorm import extract_links
+
+        df = spark.createDataFrame([(1, self.HTML)], "doc_id long, html string")
+        plan = extract_links(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
