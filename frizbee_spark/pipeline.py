@@ -78,7 +78,8 @@ STAGES = (
 # frame feeds several downstream consumers that would each re-train the
 # model if it flowed through. filter/sample are cheap per-row Catalyst.
 DEFAULT_CHECKPOINTS = (
-    "documents", "perplexity", "dsir", "decontaminate", "signatures",
+    "documents", "perplexity", "dsir", "decontaminate", "budget",
+    "signatures",
     "tier_report",
     "span_pairs", "span_report", "verified", "clusters", "canonical",
 )
@@ -193,6 +194,17 @@ class PipelineConfig:
     # table is the 'sample' stage output.
     sample_opts: dict | None = None  # kwargs for stratified_sample;
     # 'rates' is required, 'stratum_col' defaults to 'lang'
+    enable_budget: bool = False  # token-budget cut (packing.
+    # select_to_budget) AFTER every quality gate: rank the surviving
+    # docs by a weight column (default: char length — "prefer long
+    # docs"; point it at a scored column for quality-ranked cuts) and
+    # keep the maximal prefix whose token sum fits the budget. The
+    # selection table (doc_id, weight, cost, cum_cost, sel_rank) is the
+    # 'budget' stage output.
+    budget_opts: dict | None = None  # {'budget': int (required — token
+    # budget), 'weight': 'chars' (doc char length) or any numeric
+    # documents column name, 'text_col': auto ('text' if present else
+    # 'norm_text')}
     extractor: str = "shell"  # html -> extracted_text strategy when the
     # source has an 'html' column. "shell": the sandbox corpus's fixed
     # <html><body> shell is a substring slice (byte-identity with 'text'
@@ -951,6 +963,67 @@ class NearDupPipeline:
             self.flush_metrics()
             return out
 
+        # token-budget cut: the LAST content gate — every upstream gate
+        # has already shaped the pool; this one sizes it. Two-pass
+        # distributed prefix sum (see packing.select_to_budget); the
+        # weight defaults to char length so the gate is usable with no
+        # scored column, and any numeric column (perplexity band score,
+        # dsir log-weight joined upstream) slots in via budget_opts.
+        budget_opts_eff: dict = {}
+        if cfg.enable_budget:
+            from .operators.packing import select_to_budget
+
+            budget_opts_eff = dict(cfg.budget_opts or {})
+            if "budget" not in budget_opts_eff:
+                raise ValueError(
+                    "enable_budget requires budget_opts['budget'] "
+                    "(the token budget the prefix must fit)"
+                )
+            budget_opts_eff.setdefault("weight", "chars")
+            budget_opts_eff.setdefault(
+                "text_col",
+                "text" if "text" in documents.columns else "norm_text",
+            )
+            tcol = budget_opts_eff["text_col"]
+            wspec = budget_opts_eff["weight"]
+            docs_for_budget = documents  # bind NOW (rebound below)
+
+            def s_budget():
+                w = (
+                    F.length(F.col(tcol)).cast("long") if wspec == "chars"
+                    else F.col(wspec).cast("long")
+                )
+                base = docs_for_budget.select(
+                    "doc_id",
+                    w.alias("_w"),
+                    F.size(F.split(F.trim(F.col(tcol)), r"\s+"))
+                    .cast("long").alias("_c"),
+                )
+                return select_to_budget(
+                    base, budget=int(budget_opts_eff["budget"]),
+                    weight_col="_w", cost_col="_c",
+                )
+
+            sel = self._stage(
+                "budget", s_budget,
+                meta={"gate": "budget-prefix-sum-v1",
+                      **{k: budget_opts_eff[k]
+                         for k in ("budget", "weight", "text_col")}},
+            )
+            out["budget"] = sel
+            documents = documents.join(
+                sel.select("doc_id"), "doc_id", "left_semi"
+            )
+        if until == "budget":
+            if not cfg.enable_budget:
+                raise ValueError(
+                    "run(until='budget') requires cfg.enable_budget=True "
+                    "(the budget cut is opt-in)"
+                )
+            _join_check()
+            self.flush_metrics()
+            return out
+
         # span_pairs depends only on `documents` — launch it on a second
         # submission thread so Spark schedules it CONCURRENTLY with the
         # signatures -> candidates -> verify chain (independent DAG
@@ -1044,7 +1117,10 @@ class NearDupPipeline:
                          if cfg.enable_decontaminate else {}),
                       **({"sample_gate": {"gate": "stratified-md5-v1",
                                           **sample_opts_eff}}
-                         if cfg.enable_sample else {})},
+                         if cfg.enable_sample else {}),
+                      **({"budget_gate": {"gate": "budget-prefix-sum-v1",
+                                          **budget_opts_eff}}
+                         if cfg.enable_budget else {})},
             )
             out["signatures"] = signatures
             if until == "signatures":

@@ -1277,3 +1277,87 @@ class TestTierReportStage:
         pipe = NearDupPipeline(spark, PipelineConfig(workdir=work))
         with pytest.raises(ValueError, match="enable_tier_report"):
             pipe.run(input_path=corpus_dir, until="tier_report")
+
+
+@pytest.mark.spark
+class TestBudgetStage:
+    BUDGET = 4_000  # tokens — cuts the corpus roughly in half
+
+    def _cfg(self, work, budget=None):
+        return PipelineConfig(
+            workdir=work, enable_budget=True,
+            budget_opts={"budget": budget or self.BUDGET})
+
+    def test_stage_matches_operator_and_binds(
+        self, spark, corpus_dir, tmp_path_factory
+    ):
+        from pyspark.sql import functions as F
+
+        from frizbee_spark.operators.packing import select_to_budget
+        from frizbee_spark.util import release_tracked
+
+        work = str(tmp_path_factory.mktemp("work_budget"))
+        pipe = NearDupPipeline(spark, self._cfg(work))
+        out = pipe.run(input_path=corpus_dir, until="budget")
+        sel = out["budget"].toPandas().sort_values("sel_rank")
+        assert 0 < len(sel)
+        assert sel["cum_cost"].iloc[-1] <= self.BUDGET
+        # inclusive running sum is internally consistent
+        assert (sel["cost"].cumsum() == sel["cum_cost"]).all()
+        # matches the operator applied directly to the documents stage
+        docs = out["documents"]
+        base = docs.select(
+            "doc_id",
+            F.length("text").cast("long").alias("_w"),
+            F.size(F.split(F.trim(F.col("text")), r"\s+"))
+            .cast("long").alias("_c"),
+        )
+        try:
+            direct = (
+                select_to_budget(base, self.BUDGET, "_w", "_c")
+                .toPandas().sort_values("sel_rank").reset_index(drop=True)
+            )
+        finally:
+            release_tracked()
+        assert direct["doc_id"].tolist() == sel["doc_id"].tolist()
+        assert direct["cum_cost"].tolist() == sel["cum_cost"].tolist()
+
+    def test_downstream_sees_only_selected_docs(
+        self, spark, corpus_dir, tmp_path_factory
+    ):
+        work = str(tmp_path_factory.mktemp("work_budget_ds"))
+        pipe = NearDupPipeline(spark, self._cfg(work))
+        out = pipe.run(input_path=corpus_dir)
+        kept = {r.doc_id for r in out["budget"].collect()}
+        sigs = {r.doc_id for r in
+                out["signatures"].select("doc_id").distinct().collect()}
+        assert sigs <= kept and sigs
+
+    def test_resume_reads_checkpoint_and_retune_fails(
+        self, spark, corpus_dir, tmp_path_factory
+    ):
+        work = str(tmp_path_factory.mktemp("work_budget_res"))
+        out = NearDupPipeline(spark, self._cfg(work)).run(
+            input_path=corpus_dir, until="budget")
+        want = sorted(r.doc_id for r in out["budget"].collect())
+        pipe2 = NearDupPipeline(spark, self._cfg(work))
+        out2 = pipe2.run(input_path=corpus_dir, until="budget")
+        assert sorted(r.doc_id for r in out2["budget"].collect()) == want
+        assert any(r["stage"] == "budget" and r["resumed"]
+                   for r in pipe2.metrics().collect())
+        # a different budget against the same workdir must fail loudly
+        with pytest.raises(RuntimeError, match="budget"):
+            NearDupPipeline(spark, self._cfg(work, budget=999)).run(
+                input_path=corpus_dir, until="budget")
+
+    def test_optin_and_validation(self, spark, corpus_dir,
+                                  tmp_path_factory):
+        work = str(tmp_path_factory.mktemp("work_budget_off"))
+        with pytest.raises(ValueError, match="enable_budget"):
+            NearDupPipeline(spark, PipelineConfig(workdir=work)).run(
+                input_path=corpus_dir, until="budget")
+        with pytest.raises(ValueError, match="budget_opts"):
+            NearDupPipeline(
+                spark,
+                PipelineConfig(workdir=work, enable_budget=True),
+            ).run(input_path=corpus_dir, until="budget")
