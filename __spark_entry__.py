@@ -695,6 +695,31 @@ def q_host_pagerank(spark, sf_dir):
     return host_pagerank(e1.unionByName(e2), n_iter=10).orderBy("host")
 
 
+def q_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary head: top-50 verbatim whitespace tokens by
+    occurrence count with document frequency and dense rank (total
+    order: count DESC, token ASC — the boundary is deterministic).
+    Spark computes the cut with distributed TakeOrdered, the oracle with
+    a global window + rank filter — same total order, so a drift in
+    tie-breaking or the boundary hash-fails."""
+    from frizbee_spark.operators.textstats import vocab_topk
+
+    return vocab_topk(_docs(spark, sf_dir), k=50).orderBy("rank")
+
+
+def q_ngram_novelty(spark, sf_dir):
+    """Per-doc marginal-contribution score: fraction of the doc's
+    distinct 8-token grams first seen (min doc_id) in this doc. Shares
+    the k-gram spec with ngram_contamination and the md5->long
+    fingerprint idiom with doc_fingerprint, so the oracle replicates
+    BOTH (gram text -> same 60-bit fp -> same min/join/fraction);
+    restating-earlier-content docs score near 0 without any single span
+    tripping span dedup."""
+    from frizbee_spark.operators.textstats import ngram_novelty
+
+    return ngram_novelty(_docs(spark, sf_dir), k=8).orderBy("doc_id")
+
+
 def q_lm_perplexity(spark, sf_dir):
     """Bigram-LM cross-entropy/perplexity per doc under a Laplace-smoothed
     model trained on the corpus itself — the CCNet/Gopher-style
@@ -1196,6 +1221,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "budget_select": q_budget_select,
         "extract_links": q_extract_links,
         "host_pagerank": q_host_pagerank,
+        "vocab_topk": q_vocab_topk,
+        "ngram_novelty": q_ngram_novelty,
         "dsir_weights": q_dsir_weights,
         "source_overlap": q_source_overlap,
         "perplexity_buckets": q_perplexity_buckets,
@@ -2156,6 +2183,60 @@ def oracle_sql() -> dict[str, str]:
             FROM x ORDER BY doc_id, link_n
         """,
         "host_pagerank": _pagerank_oracle_sql(),
+        "vocab_topk": """
+            WITH t AS (
+                SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token
+                FROM documents WHERE text IS NOT NULL
+            ),
+            c AS (
+                SELECT token, count(*)::BIGINT AS n_occurrences,
+                       count(DISTINCT doc_id)::BIGINT AS n_docs
+                FROM t GROUP BY token
+            ),
+            r AS (
+                SELECT token, n_occurrences, n_docs,
+                       row_number() OVER (
+                           ORDER BY n_occurrences DESC, token ASC
+                       )::BIGINT AS rank
+                FROM c
+            )
+            SELECT token, n_occurrences, n_docs, rank
+            FROM r WHERE rank <= 50 ORDER BY rank
+        """,
+        # same k-gram spec as ngram_contamination, same md5->60-bit-long
+        # fingerprint as doc_fingerprint — a fp collision (merging two
+        # grams) reproduces identically on both sides by construction
+        "ngram_novelty": f"""
+            WITH toks AS (
+                SELECT doc_id, string_split(trim(text), ' ') AS w
+                FROM documents WHERE text IS NOT NULL
+            ),
+            g AS (
+                SELECT DISTINCT doc_id,
+                       concat_ws(' ', {", ".join(f"w[i+{j}]" for j in range(8))}) AS gr
+                FROM toks,
+                     unnest(generate_series(1, greatest(len(w) - 7, 1))) AS t(i)
+            ),
+            fps AS (
+                SELECT doc_id,
+                       (('0x' || substr(md5(gr), 1, 15))::UBIGINT)::BIGINT AS fp
+                FROM g
+            ),
+            first AS (
+                SELECT fp, min(doc_id) AS first_doc FROM fps GROUP BY fp
+            ),
+            perdoc AS (
+                SELECT fps.doc_id,
+                       count(*)::BIGINT AS n_grams,
+                       SUM(CASE WHEN first.first_doc = fps.doc_id
+                                THEN 1 ELSE 0 END)::BIGINT AS n_novel
+                FROM fps JOIN first ON fps.fp = first.fp
+                GROUP BY fps.doc_id
+            )
+            SELECT doc_id, n_grams, n_novel,
+                   round(n_novel * 1.0 / n_grams, 4) AS novelty_frac
+            FROM perdoc ORDER BY doc_id
+        """,
         "pack_sequences": """
             WITH t AS (
                 SELECT doc_id,

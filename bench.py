@@ -198,6 +198,7 @@ def main() -> None:
             "stratified_sample", "pack_sequences", "dsir_weights",
             "source_overlap", "perplexity_buckets",
             "budget_select", "extract_links", "host_pagerank",
+            "vocab_topk", "ngram_novelty",
             "user_sessions", "event_rates",
             "fuzzy_join", "shingle_containment_pairs",
             "candidate_tiers", "curation_rollup", "dedup_rewrite",

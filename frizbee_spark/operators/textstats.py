@@ -1343,3 +1343,105 @@ def tfidf_topterms(
         .filter(F.col("rank") <= top_m)
         .select("doc_id", "term", "tfidf", "rank")
     )
+
+
+def vocab_topk(
+    df: DataFrame,
+    k: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 1,
+) -> DataFrame:
+    """Corpus vocabulary profile: the top-``k`` whitespace tokens by
+    occurrence count, with document frequency and a dense 1-based rank —
+    the table a curation run reads before training a tokenizer (vocab
+    coverage preview), building stopword lists, or sanity-checking a
+    language mix (the head of a clean corpus is function words; a head
+    full of markup or boilerplate tokens is a pipeline bug).
+
+    Tokens are kept verbatim (no lowering/stripping): the profile must
+    expose what a tokenizer would actually see. Ordering is total
+    (count DESC, token ASC), so the top-``k`` boundary is deterministic.
+
+    Scale shape: tokenize+explode fuses into the scan; the per-token
+    count is ONE map-side-combined aggregate (Zipf heads collapse to
+    counters before the shuffle — the hot-key pattern aggregation
+    handles for free); the global top-k is Spark's distributed
+    TakeOrdered (per-partition heads, driver merge of k-row slices),
+    NOT a single-partition global window — the window that assigns the
+    final rank runs over the already-cut k-row frame, where one
+    partition of k rows is the point, not a bottleneck.
+
+    Output: (token, n_occurrences, n_docs, rank).
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    counts = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n_occurrences"),
+             F.countDistinct(F.col(id_col)).alias("n_docs"))
+        .filter(F.col("n_occurrences") >= min_count)
+    )
+    from pyspark.sql import Window
+
+    head = counts.orderBy(F.desc("n_occurrences"), F.asc("token")).limit(k)
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("token"))
+    return head.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def ngram_novelty(
+    df: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document marginal contribution: the fraction of a doc's
+    distinct k-token grams whose FIRST corpus occurrence (by ascending
+    id over the same k-gram spec as :func:`ngram_contamination`) is this
+    doc — the data-selection signal behind "how much does this doc add
+    that the corpus doesn't already have?" (near 0 = the doc restates
+    earlier content even when no single span triggers span dedup; 1 =
+    entirely novel). Ids order the corpus, so novelty is the
+    deterministic sequential-reader semantics, append-stable for
+    monotone ids: new docs never change old rows.
+
+    Plan shape: distinct (gram, doc) pairs fuse into the scan; the
+    per-gram first-occurrence is ONE map-side-combined min aggregate
+    (repeated grams collapse before the shuffle — same hot-key story as
+    vocab counts); the gram-keyed join back and the per-doc aggregate
+    ride the same gram/doc hash keys as dup_chunks. Text never
+    shuffles — only 64-bit gram hashes and ids move.
+
+    Output: (doc_id, n_grams, n_novel, novelty_frac rounded to 4).
+    """
+    grams = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(_kgram_col(text_col, k)).alias("g"),
+        )
+        # md5-derived long: portable to the oracle, 8 bytes on the wire
+        # instead of the gram text (collision odds ~n^2/2^63 — the same
+        # budget every fingerprint operator here runs on)
+        .select(
+            "doc_id",
+            F.conv(F.substring(F.md5(F.col("g")), 1, 15), 16, 10)
+            .cast("long").alias("fp"),
+        )
+    )
+    first = grams.groupBy("fp").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        grams.join(first, "fp")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("long"))
+            .alias("n_novel"),
+        )
+    )
+    return per_doc.withColumn(
+        "novelty_frac", F.round(F.col("n_novel") / F.col("n_grams"), 4)
+    )

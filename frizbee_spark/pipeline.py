@@ -202,9 +202,15 @@ class PipelineConfig:
     # selection table (doc_id, weight, cost, cum_cost, sel_rank) is the
     # 'budget' stage output.
     budget_opts: dict | None = None  # {'budget': int (required — token
-    # budget), 'weight': 'chars' (doc char length) or any numeric
-    # documents column name, 'text_col': auto ('text' if present else
-    # 'norm_text')}
+    # budget), 'weight': 'chars' (doc char length, the default),
+    # 'dsir' (avg_logratio from the dsir stage — requires enable_dsir;
+    # THE DSIR use case: keep the best-N-tokens by importance weight),
+    # 'neg_perplexity' (lower perplexity ranks first — requires
+    # enable_perplexity), or any numeric documents column name; scored
+    # weights are scaled x1e6 and cast to long (the scores are already
+    # rounded to <= 6 decimals, so this is lossless and keeps the
+    # selection integer-exact), 'text_col': auto ('text' if present
+    # else 'norm_text')}
     extractor: str = "shell"  # html -> extracted_text strategy when the
     # source has an 'html' column. "shell": the sandbox corpus's fixed
     # <html><body> shell is a substring slice (byte-identity with 'text'
@@ -986,19 +992,45 @@ class NearDupPipeline:
             )
             tcol = budget_opts_eff["text_col"]
             wspec = budget_opts_eff["weight"]
+            if wspec == "dsir" and not cfg.enable_dsir:
+                raise ValueError(
+                    "budget_opts weight='dsir' requires enable_dsir=True "
+                    "(the weight is the dsir stage's avg_logratio)"
+                )
+            if wspec == "neg_perplexity" and not cfg.enable_perplexity:
+                raise ValueError(
+                    "budget_opts weight='neg_perplexity' requires "
+                    "enable_perplexity=True (the weight is the perplexity "
+                    "stage's score)"
+                )
             docs_for_budget = documents  # bind NOW (rebound below)
+            score_tables = {"dsir": out.get("dsir"),
+                            "neg_perplexity": out.get("perplexity")}
 
             def s_budget():
-                w = (
-                    F.length(F.col(tcol)).cast("long") if wspec == "chars"
-                    else F.col(wspec).cast("long")
-                )
                 base = docs_for_budget.select(
                     "doc_id",
-                    w.alias("_w"),
                     F.size(F.split(F.trim(F.col(tcol)), r"\s+"))
                     .cast("long").alias("_c"),
+                    *([] if wspec in score_tables
+                      else [(F.length(F.col(tcol)) if wspec == "chars"
+                             else F.col(wspec)).cast("long").alias("_w")]),
                 )
+                if wspec in score_tables:
+                    # stage scores are rounded to <= 6 decimals, so the
+                    # x1e6 long is lossless — selection stays integer-
+                    # exact. Inner join: docs the scorer could not score
+                    # (no n-grams) carry no signal and are excluded.
+                    expr = {
+                        "dsir": F.col("avg_logratio") * 1e6,
+                        "neg_perplexity": -F.col("perplexity") * 1e6,
+                    }[wspec]
+                    base = base.join(
+                        score_tables[wspec].select(
+                            "doc_id",
+                            F.round(expr, 0).cast("long").alias("_w")),
+                        "doc_id",
+                    )
                 return select_to_budget(
                     base, budget=int(budget_opts_eff["budget"]),
                     weight_col="_w", cost_col="_c",

@@ -1361,3 +1361,69 @@ class TestBudgetStage:
                 spark,
                 PipelineConfig(workdir=work, enable_budget=True),
             ).run(input_path=corpus_dir, until="budget")
+
+
+@pytest.mark.spark
+class TestBudgetDsirWeight:
+    """budget_opts weight='dsir': the DSIR paper's use case — keep the
+    best-N-tokens ranked by importance weight, not char length."""
+
+    def _planted(self, spark):
+        vocab = [f"v{k}" for k in range(10)]
+
+        def on_target(i):
+            return " ".join(vocab[(i + j) % 10] for j in range(40))
+
+        rows = [(f"https://x.example/on{i}", on_target(i))
+                for i in range(8)]
+        rows += [(f"https://x.example/junk{i}",
+                  " ".join(f"junk{i}w{j}" for j in range(40)))
+                 for i in range(8)]
+        docs = spark.createDataFrame(rows, "url string, text string")
+        ids = {r["url"]: r["id"] for r in docs.select(
+            "url", F.xxhash64("url").alias("id")).collect()}
+        return docs, ids, on_target
+
+    def test_dsir_ranked_selection(self, spark, tmp_path_factory):
+        docs, ids, on_target = self._planted(spark)
+        tgt_dir = str(tmp_path_factory.mktemp("budget_tgt") / "t.parquet")
+        spark.createDataFrame(
+            [(on_target(i + 3),) for i in range(10)], "text string"
+        ).write.parquet(tgt_dir)
+        work = str(tmp_path_factory.mktemp("work_budget_dsir"))
+        cfg = PipelineConfig(
+            workdir=work, enable_dsir=True,
+            # floor below every score: the dsir GATE keeps everything,
+            # so the budget cut alone decides membership
+            dsir_opts={"target_path": tgt_dir, "min_avg_logratio": -1e9,
+                       "n_buckets": 64},
+            enable_budget=True,
+            # every doc is 40 tokens; 200 tokens = the top five docs
+            budget_opts={"budget": 200, "weight": "dsir"},
+        )
+        out = NearDupPipeline(spark, cfg).run(docs=docs, until="budget")
+        sel = out["budget"].toPandas().sort_values("sel_rank")
+        assert len(sel) == 5
+        assert (sel["cost"] == 40).all()
+        on_ids = {ids[f"https://x.example/on{i}"] for i in range(8)}
+        # on-target docs outrank junk under the dsir weight
+        assert set(sel["doc_id"]) <= on_ids
+        # weights are the x1e6 longs of the dsir stage's avg_logratio
+        scored = {r["doc_id"]: r["avg_logratio"]
+                  for r in out["dsir"].collect()}
+        for r in sel.itertuples():
+            assert r.weight == round(scored[r.doc_id] * 1e6)
+
+    def test_weight_requires_matching_gate(self, spark, tmp_path_factory):
+        docs, _, _ = self._planted(spark)
+        work = str(tmp_path_factory.mktemp("work_budget_noscore"))
+        with pytest.raises(ValueError, match="enable_dsir"):
+            NearDupPipeline(spark, PipelineConfig(
+                workdir=work, enable_budget=True,
+                budget_opts={"budget": 100, "weight": "dsir"},
+            )).run(docs=docs, until="budget")
+        with pytest.raises(ValueError, match="enable_perplexity"):
+            NearDupPipeline(spark, PipelineConfig(
+                workdir=work, enable_budget=True,
+                budget_opts={"budget": 100, "weight": "neg_perplexity"},
+            )).run(docs=docs, until="budget")

@@ -920,3 +920,105 @@ class TestPerplexityBuckets:
             [(1, "en", "a b")], "doc_id long, lang string, text string")
         with pytest.raises(ValueError):
             perplexity_buckets(docs, n_buckets=0)
+
+
+@pytest.mark.spark
+class TestVocabTopk:
+    def _docs(self, spark):
+        rows = [
+            (1, "the cat sat on the mat"),
+            (2, "the dog sat"),
+            (3, "a cat and a dog and a bird"),
+            (4, None),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_counts_docfreq_rank(self, spark):
+        from frizbee_spark.operators.textstats import vocab_topk
+
+        out = vocab_topk(self._docs(spark), k=4).orderBy("rank").collect()
+        got = [(r.token, r.n_occurrences, r.n_docs, r.rank) for r in out]
+        # total order: count DESC, token ASC — 'a' (3) beats 'the' (3)? no:
+        # 'a' 3 occurrences, 'the' 3 occurrences -> tie broken by token ASC
+        assert got == [
+            ("a", 3, 1, 1), ("the", 3, 2, 2),
+            ("and", 2, 1, 3), ("cat", 2, 2, 4),
+        ]
+
+    def test_min_count_and_k_cut(self, spark):
+        from frizbee_spark.operators.textstats import vocab_topk
+
+        out = vocab_topk(self._docs(spark), k=100, min_count=2).collect()
+        assert {r.token for r in out} == {"a", "the", "and", "cat",
+                                          "dog", "sat"}
+        with pytest.raises(ValueError):
+            vocab_topk(self._docs(spark), k=0)
+
+    def test_matches_brute_force_on_corpus(self, spark):
+        from collections import Counter
+
+        from frizbee_spark.operators.textstats import vocab_topk
+
+        df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        rows = df.select("doc_id", "text").filter("text is not null").collect()
+        occ, docs = Counter(), Counter()
+        for r in rows:
+            toks = r.text.strip().split()
+            occ.update(toks)
+            for t in set(toks):
+                docs[t] += 1
+        want = sorted(occ.items(), key=lambda kv: (-kv[1], kv[0]))[:25]
+        got = vocab_topk(df, k=25).orderBy("rank").collect()
+        assert [(r.token, r.n_occurrences, r.n_docs) for r in got] == [
+            (t, c, docs[t]) for t, c in want
+        ]
+
+
+@pytest.mark.spark
+class TestNgramNovelty:
+    def test_planted_redundancy(self, spark):
+        from frizbee_spark.operators.textstats import ngram_novelty
+
+        base = " ".join(f"w{j}" for j in range(20))
+        rows = [
+            (1, base),                                    # all novel
+            (2, base),                                    # exact restate: 0
+            (3, base + " " + " ".join(f"x{j}" for j in range(8))),
+            (4, " ".join(f"y{j}" for j in range(20))),    # all novel
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r.doc_id: r for r in ngram_novelty(df, k=8).collect()}
+        assert out[1].novelty_frac == 1.0
+        assert out[2].novelty_frac == 0.0
+        assert out[4].novelty_frac == 1.0
+        # doc 3 = 28 tokens -> 21 grams: 13 pure-base (seen in doc 1)
+        # + 8 straddling/new grams (novel)
+        assert out[3].n_grams == 21 and out[3].n_novel == 8
+        assert 0.0 < out[3].novelty_frac < 1.0
+
+    def test_append_stability(self, spark):
+        from frizbee_spark.operators.textstats import ngram_novelty
+
+        rows = [(i, " ".join(f"t{i}_{j}" for j in range(12))) for i in range(5)]
+        rows[3] = (3, rows[1][1])  # doc 3 restates doc 1
+        df5 = spark.createDataFrame(rows, "doc_id long, text string")
+        first = {r.doc_id: (r.n_grams, r.n_novel)
+                 for r in ngram_novelty(df5, k=8).collect()}
+        more = rows + [(9, rows[0][1] + " extra tail tokens here")]
+        df6 = spark.createDataFrame(more, "doc_id long, text string")
+        second = {r.doc_id: (r.n_grams, r.n_novel)
+                  for r in ngram_novelty(df6, k=8).collect()}
+        # appending a HIGHER id never changes existing rows
+        assert all(second[d] == first[d] for d in first)
+        assert second[9][1] < second[9][0]  # restated head grams not novel
+
+    def test_short_doc_single_gram(self, spark):
+        from frizbee_spark.operators.textstats import ngram_novelty
+
+        df = spark.createDataFrame(
+            [(1, "only three tokens"), (2, "only three tokens")],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in ngram_novelty(df, k=8).collect()}
+        assert out[1].n_grams == 1 and out[1].novelty_frac == 1.0
+        assert out[2].n_grams == 1 and out[2].novelty_frac == 0.0
