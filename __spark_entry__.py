@@ -1027,6 +1027,27 @@ def q_media_decode(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_container_meta(spark, sf_dir):
+    """REAL container-metadata parse: deterministic MP4 (ISO-BMFF box
+    tree — ftyp/free/moov/mvhd/trak/mdia/hdlr/mdat, 64-bit largesize,
+    v0+v1 mvhd, faststart AND streaming layouts) and MPEG-1 Layer III
+    MP3 blobs (CBR frame chains with per-frame padding bits, ID3v2
+    prefixes, ID3v1 trailers) are synthesized per doc_id
+    (multimodal.synth_container_blob — pure function of the id), then
+    container_meta walks the actual bytes back: box-size arithmetic,
+    mvhd version dispatch, per-trak handler types, mdat byte totals,
+    frame-length stepping (144*bitrate/samplerate + padding). The
+    oracle recomputes the planted duration/timescale/stream-count/
+    bitrate from doc_id arithmetic — every column is an integer, so a
+    mis-walked box, skipped-wrong ID3 tag, or off-by-padding frame
+    length hash-mismatches exactly."""
+    from frizbee_spark.operators.multimodal import (
+        container_meta, synth_container)
+
+    blobs = synth_container(_docs(spark, sf_dir).select("doc_id"))
+    return container_meta(blobs).orderBy("doc_id")
+
+
 def q_greedy_match(spark, sf_dir):
     """The greedy long-document matcher path, forced for every row
     (route="greedy") so the whole result is oracle-checkable: the oracle
@@ -1237,6 +1258,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "media_stats": q_media_stats,
         "media_decode": q_media_decode,
+        "container_meta": q_container_meta,
         "greedy_match": q_greedy_match,
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
         "simhash_pairs": q_simhash_pairs,
@@ -2544,6 +2566,54 @@ def oracle_sql() -> dict[str, str]:
             FROM base b LEFT JOIN png p ON p.doc_id = b.doc_id
                         LEFT JOIN gif g ON g.doc_id = b.doc_id
             ORDER BY b.doc_id
+        """,
+        "container_meta": """
+            -- planted-value recomputation (same pattern as media_decode):
+            -- the Spark side walks real MP4 box trees / MP3 frame chains;
+            -- the oracle knows every field by construction
+            -- (synth_container_blob is a pure function of doc_id).
+            -- All columns are integers -> exact cross-engine compare.
+            -- MP4 (even ids): mvhd duration = ts*(1+id%29)+id%97, so
+            -- duration_ms = dur*1000 // ts; bit_rate = mdat_bytes*8*ts
+            -- // dur; traks alternate vide/soun starting at vide (id
+            -- even) -> n_video = ceil(n/2). MP3 (odd ids): CBR at
+            -- kbps[5+id%9], duration_ms = frames*1152*1000 // sr.
+            WITH base AS (
+                SELECT doc_id,
+                       doc_id % 2 = 0 AS is_mp4,
+                       (CASE doc_id % 4 WHEN 0 THEN 600 WHEN 1 THEN 1000
+                             WHEN 2 THEN 90000 ELSE 44100 END)::BIGINT AS ts,
+                       (1 + doc_id % 3)::BIGINT AS n_tracks,
+                       (32 + doc_id % 211)::BIGINT AS mdat_n,
+                       (CASE 5 + doc_id % 9
+                             WHEN 5 THEN 64 WHEN 6 THEN 80 WHEN 7 THEN 96
+                             WHEN 8 THEN 112 WHEN 9 THEN 128 WHEN 10 THEN 160
+                             WHEN 11 THEN 192 WHEN 12 THEN 224
+                             ELSE 256 END)::BIGINT AS kbps,
+                       (CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                             ELSE 32000 END)::BIGINT AS sr,
+                       (4 + doc_id % 23)::BIGINT AS n_frames
+                FROM documents
+            ),
+            calc AS (
+                SELECT *, ts * (1 + doc_id % 29) + doc_id % 97 AS dur
+                FROM base
+            )
+            SELECT doc_id,
+                   CASE WHEN is_mp4 THEN 'video/mp4'
+                        ELSE 'audio/mpeg' END AS container,
+                   CASE WHEN is_mp4 THEN (dur * 1000) // ts
+                        ELSE (n_frames * 1152 * 1000) // sr
+                   END AS duration_ms,
+                   CASE WHEN is_mp4 THEN ts ELSE sr END AS time_base,
+                   CASE WHEN is_mp4 THEN n_tracks ELSE 1 END AS n_streams,
+                   CASE WHEN is_mp4 THEN (n_tracks + 1) // 2
+                        ELSE 0 END AS n_video,
+                   CASE WHEN is_mp4 THEN n_tracks // 2
+                        ELSE 1 END AS n_audio,
+                   CASE WHEN is_mp4 THEN (mdat_n * 8 * ts) // dur
+                        ELSE kbps * 1000 END AS bit_rate
+            FROM calc ORDER BY doc_id
         """,
         "span_exact_pairs": f"""
             WITH g AS (

@@ -191,6 +191,7 @@ def main() -> None:
             "quality_score", "embedding_topk", "ann_topk", "ivf_topk",
             "fuzzy_match",
             "greedy_match", "canonical_docs", "media_stats",
+            "container_meta",
             "embedding_near_dups", "semantic_dedup", "winnow_span_pairs",
             "ngram_contamination", "bloom_decontaminate", "dup_chunks",
             "minhash_jaccard_est",

@@ -351,3 +351,94 @@ class TestMultimodal:
         bare += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0x00)
         bare += bytes([2]) + b"\x00\x3b"
         assert _decode_gif(bytes(bare)) is None
+
+
+class TestContainerMeta:
+    """MP4 box-walk / MP3 frame-walk metadata: pure-Python parser parity
+    vs the planted fixture formulas, plus the edge paths (64-bit
+    largesize, v1 mvhd, ID3 skip/stop, truncated tail, VBR average)."""
+
+    def _want(self, d):
+        from frizbee_spark.operators.multimodal import (
+            _MP3_BITRATE_KBPS, _MP3_SR)
+        if d % 2 == 0:
+            ts = (600, 1000, 90000, 44100)[d % 4]
+            dur = ts * (1 + d % 29) + d % 97
+            n = 1 + d % 3
+            mdat_n = 32 + d % 211
+            return ("video/mp4", dur * 1000 // ts, ts, n, (n + 1) // 2,
+                    n // 2, (mdat_n * 8 * ts) // dur)
+        kbps = _MP3_BITRATE_KBPS[5 + d % 9]
+        sr = _MP3_SR[d % 3]
+        nf = 4 + d % 23
+        return ("audio/mpeg", nf * 1152 * 1000 // sr, sr, 1, 0, 1,
+                kbps * 1000)
+
+    def test_fixture_parity(self):
+        # covers every residue class the fixture branches on: 64-bit
+        # largesize (id%6==0), v1 mvhd (id%10==2), streaming layout
+        # (id%8 in (0,2)), ID3v2 prefix (id%4==1), ID3v1 trailer
+        # (id%5==0), all 3 samplerates x 9 bitrates
+        from frizbee_spark.operators.multimodal import (
+            _parse_mp3_meta, _parse_mp4_meta, synth_container_blob)
+        for d in range(360):
+            b = synth_container_blob(d)
+            got = _parse_mp4_meta(b) or _parse_mp3_meta(b)
+            assert got == self._want(d), d
+
+    def test_mp3_truncated_tail_frame_ignored(self):
+        from frizbee_spark.operators.multimodal import (
+            _parse_mp3_meta, synth_container_blob)
+        d = 7  # odd, no ID3v1 trailer -> blob ends exactly at a frame end
+        full = _parse_mp3_meta(synth_container_blob(d))
+        cut = _parse_mp3_meta(synth_container_blob(d)[:-10])
+        nf = 4 + d % 23
+        sr = full[2]
+        assert cut[1] == (nf - 1) * 1152 * 1000 // sr  # one frame fewer
+
+    def test_mp3_vbr_average_bitrate(self):
+        from frizbee_spark.operators.multimodal import _parse_mp3_meta
+        out = bytearray()
+        for bi, pad in ((9, 0), (14, 1)):  # 128 kbps then 320 kbps
+            kbps = {9: 128, 14: 320}[bi]
+            flen = 144 * kbps * 1000 // 44100 + pad
+            out += bytes([0xFF, 0xFB, (bi << 4) | (0 << 2) | (pad << 1),
+                          0x44]) + b"\xaa" * (flen - 4)
+        got = _parse_mp3_meta(bytes(out))
+        assert got[6] == (128 + 320) * 1000 // 2
+        assert got[1] == 2 * 1152 * 1000 // 44100
+
+    def test_malformed_mp4_stops_cleanly(self):
+        import struct as s
+        from frizbee_spark.operators.multimodal import _parse_mp4_meta
+        ftyp = s.pack(">I", 16) + b"ftyp" + b"isom" + b"\x00" * 4
+        # box claiming to extend past EOF: walk stops, no mvhd -> None
+        assert _parse_mp4_meta(ftyp + s.pack(">I", 9999) + b"moov") is None
+        # zero-size moov box (to-EOF) with a truncated mvhd body: no crash
+        assert _parse_mp4_meta(
+            ftyp + s.pack(">I", 0) + b"moov" + b"\x00\x00\x00\x09mvhd\x01"
+        ) is None
+
+    @pytest.mark.spark
+    def test_operator_mixed_corpus(self, spark):
+        from frizbee_spark.operators.multimodal import (
+            container_meta, synth_container, synth_container_blob)
+        ids = spark.range(0, 12).withColumnRenamed("id", "doc_id")
+        rows = {r["doc_id"]: r for r in
+                container_meta(synth_container(ids)).collect()}
+        assert len(rows) == 12
+        for d in range(12):
+            r = rows[d]
+            want = self._want(d)
+            assert (r["container"], r["duration_ms"], r["time_base"],
+                    r["n_streams"], r["n_video"], r["n_audio"],
+                    r["bit_rate"]) == want
+        # non-container blobs parse as octet-stream zeros (total operator)
+        other = spark.createDataFrame(
+            [(100, b"plain text"), (101, None),
+             (102, synth_container_blob(3))],
+            "doc_id long, media binary")
+        got = {r["doc_id"]: r for r in container_meta(other).collect()}
+        assert got[100]["container"] == "application/octet-stream"
+        assert got[101]["duration_ms"] == 0
+        assert got[102]["container"] == "audio/mpeg"
