@@ -668,6 +668,33 @@ def q_extract_links(spark, sf_dir):
     ).orderBy("doc_id", "link_n")
 
 
+def q_bpe_merges(spark, sf_dir):
+    """Distributed BPE tokenizer training (Sennrich et al. 2016): 10
+    count-argmax-merge iterations over the vocabulary table — the
+    corpus is scanned once (pre-tokenize + word count, map-side
+    combine) and never re-touched; each iteration is an adjacent-pair
+    aggregate plus a top-1 TakeOrdered plus one literal replace, all
+    over word TYPES. The oracle unrolls the same 10 steps as chained
+    materialized CTEs (overlapping pair counts, (freq DESC, a, b)
+    tiebreak, sentinel-framed non-overlapping merge — bit-identical
+    semantics), so a drifted tiebreak, wrong merge greediness, or
+    missed end-of-word marker hash-mismatches."""
+    from frizbee_spark.operators.bpe import bpe_train
+
+    return bpe_train(_docs(spark, sf_dir), n_merges=10)
+
+
+def q_bpe_doc_tokens(spark, sf_dir):
+    """Per-doc token counts under the corpus-trained BPE (10 merges):
+    encoding is a broadcast join of the doc word stream against the
+    trained vocabulary's final segmentation — text is scanned, never
+    shuffled. Oracle: the same unrolled training chain, final words
+    table joined back to the exploded corpus."""
+    from frizbee_spark.operators.bpe import bpe_doc_tokens
+
+    return bpe_doc_tokens(_docs(spark, sf_dir), n_merges=10).orderBy("doc_id")
+
+
 def q_host_pagerank(spark, sf_dir):
     """Fixed-point integer PageRank (10 iterations, d=0.85, mass scale
     10^12) over a deterministic host graph derived from doc_ids: doc i
@@ -1244,6 +1271,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_pagerank": q_host_pagerank,
         "vocab_topk": q_vocab_topk,
         "ngram_novelty": q_ngram_novelty,
+        "bpe_merges": q_bpe_merges,
+        "bpe_doc_tokens": q_bpe_doc_tokens,
         "dsir_weights": q_dsir_weights,
         "source_overlap": q_source_overlap,
         "perplexity_buckets": q_perplexity_buckets,
@@ -1428,6 +1457,73 @@ def _pagerank_oracle_sql(n_iter: int = 10, scale: int = 10**12,
     return (head + "," + ",".join(iters)
             + f"\n        SELECT h AS host, r AS rank_u"
               f" FROM r{n_iter} ORDER BY host")
+
+
+def _bpe_oracle_cte(n_merges: int) -> str:
+    """Unrolled-CTE twin of operators/bpe.bpe_train: the same K
+    count-argmax-merge steps chained as materialized CTEs. Checkable
+    because each step is deterministic — overlapping adjacent-pair
+    counts, (freq DESC, a, b) tiebreak, and the sentinel-framed
+    left-to-right non-overlapping replace are replicated exactly."""
+    head = """
+        WITH words0 AS MATERIALIZED (
+            SELECT w AS word, count(*)::BIGINT AS cnt,
+                   chr(31) || array_to_string(
+                       list_append(string_split(w, ''), '</w>'),
+                       chr(31)||chr(31)) || chr(31) AS s
+            FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+'))
+                      AS w
+                  FROM documents)
+            GROUP BY w
+        )"""
+    iters = []
+    for k in range(1, n_merges + 1):
+        p = k - 1
+        iters.append(f"""
+        stats{k} AS MATERIALIZED (
+            SELECT syms[i] AS a, syms[i+1] AS b, SUM(cnt)::BIGINT AS freq
+            FROM (SELECT cnt,
+                         string_split(trim(s, chr(31)),
+                                      chr(31)||chr(31)) AS syms
+                  FROM words{p}),
+                 unnest(generate_series(1, len(syms)-1)) t(i)
+            GROUP BY 1, 2
+        ),
+        best{k} AS MATERIALIZED (
+            SELECT a, b, freq FROM stats{k}
+            ORDER BY freq DESC, a, b LIMIT 1
+        ),
+        words{k} AS MATERIALIZED (
+            SELECT word, cnt,
+                   replace(s, chr(31)||a||chr(31)||chr(31)||b||chr(31),
+                           chr(31)||a||b||chr(31)) AS s
+            FROM words{p} CROSS JOIN best{k}
+        )""")
+    return head + "," + ",".join(iters)
+
+
+def _bpe_merges_oracle_sql(n_merges: int = 10) -> str:
+    rows = " UNION ALL ".join(
+        f"SELECT {k} AS rank, a AS left_sym, b AS right_sym, "
+        f"a||b AS merged, freq FROM best{k}"
+        for k in range(1, n_merges + 1))
+    return (_bpe_oracle_cte(n_merges)
+            + f"\n        SELECT * FROM ({rows}) ORDER BY rank")
+
+
+def _bpe_doc_tokens_oracle_sql(n_merges: int = 10) -> str:
+    return _bpe_oracle_cte(n_merges) + f"""
+        SELECT d.doc_id,
+               count(*)::BIGINT AS n_words,
+               SUM(len(string_split(trim(w.s, chr(31)),
+                                    chr(31)||chr(31))))::BIGINT
+                   AS n_subwords
+        FROM (SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '[a-z]+'))
+                         AS word
+              FROM documents) d
+        JOIN words{n_merges} w USING (word)
+        GROUP BY d.doc_id ORDER BY d.doc_id"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2205,6 +2301,8 @@ def oracle_sql() -> dict[str, str]:
             FROM x ORDER BY doc_id, link_n
         """,
         "host_pagerank": _pagerank_oracle_sql(),
+        "bpe_merges": _bpe_merges_oracle_sql(),
+        "bpe_doc_tokens": _bpe_doc_tokens_oracle_sql(),
         "vocab_topk": """
             WITH t AS (
                 SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token
