@@ -337,6 +337,55 @@ _HOST_SQL = """lower(regexp_extract(url,
                  2))"""
 
 
+def _synth_blocklist_urls(d):
+    """Deterministic DEEP-host crawl fixture for the blocklist query:
+    an optional subN. label (even ids), 7 siteN labels, 3 apex domains,
+    and a non-URL row every 11th. Deeper than _synth_hosted_urls on
+    purpose — suffix matching needs multi-level hosts to be exercised.
+    Mirrored verbatim in the DuckDB oracle."""
+    did = F.col("doc_id")
+    sub = F.when(did % 2 == 0,
+                 F.concat(F.lit("sub"), (did % 4).cast("string"),
+                          F.lit("."))).otherwise(F.lit(""))
+    apex = (F.when(did % 3 == 0, F.lit("badnet.org"))
+            .when(did % 3 == 1, F.lit("goodnet.org"))
+            .otherwise(F.lit("example.com")))
+    url = F.when(
+        did % 11 == 0,
+        F.concat(F.lit("not-a-url-"), did.cast("string")),
+    ).otherwise(F.concat(
+        F.lit("https://"), sub,
+        F.lit("site"), (did % 7).cast("string"), F.lit("."), apex,
+        F.lit("/p/"), did.cast("string"),
+    ))
+    return d.select("doc_id", url.alias("url"))
+
+
+# apex block (all subdomains), specific-host block (and its children),
+# and one exact deep host — the three match shapes a real UT1-style
+# list mixes. Shared by the Spark query and the DuckDB oracle.
+BLOCKLIST_DOMAINS = ("badnet.org", "site3.example.com",
+                     "sub2.site2.goodnet.org")
+
+_SYNTH_BLOCKLIST_URLS_SQL = """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 11 = 0
+                        THEN 'not-a-url-' || CAST(doc_id AS VARCHAR)
+                        ELSE 'https://'
+                             || CASE WHEN doc_id % 2 = 0
+                                     THEN 'sub' || CAST(doc_id % 4 AS VARCHAR)
+                                          || '.'
+                                     ELSE '' END
+                             || 'site' || CAST(doc_id % 7 AS VARCHAR) || '.'
+                             || CASE doc_id % 3 WHEN 0 THEN 'badnet.org'
+                                     WHEN 1 THEN 'goodnet.org'
+                                     ELSE 'example.com' END
+                             || '/p/' || CAST(doc_id AS VARCHAR)
+                   END AS url
+            FROM documents
+"""
+
+
 def q_html_extract(spark, sf_dir):
     """HTML -> visible text extraction (WARC->WET stage) over a
     deterministic page fixture built from the docs table: every doc text
@@ -386,6 +435,21 @@ def q_normalize_unicode(spark, sf_dir):
         .otherwise(F.col("text")).alias("text"),
     )
     return normalize_unicode(docs).orderBy("doc_id")
+
+
+def q_url_blocklist(spark, sf_dir):
+    """UT1-style domain-blocklist gate over the deep-host fixture:
+    suffix matching as an equi-join (hosts exploded into dot-suffixes
+    vs a broadcast blocklist), longest-match attribution. The fixture's
+    three list entries exercise apex blocking (all subdomains of
+    badnet.org), specific-host blocking (site3.example.com and its
+    sub* children), and an exact deep host. Oracle re-derives the
+    suffix expansion with generate_series + list slicing and the same
+    max_by(length) attribution."""
+    from frizbee_spark.operators.webnorm import url_blocklist
+
+    urls = _synth_blocklist_urls(_docs(spark, sf_dir).select("doc_id"))
+    return url_blocklist(urls, list(BLOCKLIST_DOMAINS)).orderBy("doc_id")
 
 
 def q_domain_stats(spark, sf_dir):
@@ -1253,6 +1317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_unicode": q_normalize_unicode,
         "domain_stats": q_domain_stats,
         "domain_cap": q_domain_cap,
+        "url_blocklist": q_url_blocklist,
         "line_dedup": q_line_dedup,
         "minhash_jaccard_est": q_minhash_jaccard_est,
         "token_stats": q_token_stats,
@@ -1873,6 +1938,26 @@ def oracle_sql() -> dict[str, str]:
                    regexp_replace(after_ip,
                      '\+?[0-9][0-9()\- ]{7,}[0-9]', '<PHONE>', 'g') AS clean_text
             FROM masked2 ORDER BY doc_id
+        """,
+        "url_blocklist": f"""
+            WITH urls AS ({_SYNTH_BLOCKLIST_URLS_SQL}),
+            hosts AS (
+                SELECT doc_id,
+                       regexp_replace({_HOST_SQL}, ':[0-9]+$', '') AS host
+                FROM urls
+            ),
+            bl(domain) AS (VALUES {", ".join(f"('{d}')"
+                                             for d in BLOCKLIST_DOMAINS)}),
+            sfx AS (
+                SELECT doc_id, host, array_to_string(parts[i:], '.') AS sfx
+                FROM (SELECT doc_id, host, string_split(host, '.') AS parts
+                      FROM hosts WHERE host <> ''),
+                     unnest(generate_series(1, len(parts))) t(i)
+            )
+            SELECT s.doc_id, max(s.host) AS host,
+                   max_by(s.sfx, length(s.sfx)) AS matched_domain
+            FROM sfx s JOIN bl ON s.sfx = bl.domain
+            GROUP BY s.doc_id ORDER BY s.doc_id
         """,
         "domain_stats": f"""
             WITH urls AS ({_SYNTH_HOSTED_URLS_SQL}),

@@ -205,7 +205,7 @@ def main() -> None:
             "fuzzy_join", "shingle_containment_pairs",
             "candidate_tiers", "curation_rollup", "dedup_rewrite",
             "url_dedup", "pii_scrub", "html_extract", "normalize_unicode",
-            "domain_stats", "domain_cap",
+            "domain_stats", "domain_cap", "url_blocklist",
             "line_dedup",
         ):
             fn = E.queries()[name]

@@ -433,3 +433,70 @@ def host_graph(links: DataFrame, src_host_col: str = "src_host",
         .filter((F.col("dst") != "") & (F.col("src") != F.col("dst")))
         .distinct()
     )
+
+
+def host_suffixes(host_col: str = "host"):
+    """Expression: every dot-suffix of a host as an array —
+    'a.b.example.com' -> ['a.b.example.com', 'b.example.com',
+    'example.com', 'com']. The expansion is what turns blocklist
+    suffix-matching into an EQUI-join (see :func:`url_blocklist`):
+    bounded by label count (~4-6 for real hosts), never by corpus or
+    list size."""
+    parts = f"split({host_col}, '[.]')"
+    return F.expr(
+        f"transform(sequence(1, size({parts})), "
+        f"i -> array_join(slice({parts}, i, size({parts}) - i + 1), '.'))"
+    )
+
+
+def url_blocklist(
+    df: DataFrame,
+    blocked_domains,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Domain-blocklist gate (UT1/adult-list style, the URL filtering
+    pass CCNet/FineWeb-class pipelines run before any content work): a
+    doc is blocked when its host — or ANY parent domain of it — appears
+    in the blocklist, so blocking 'badnet.org' also blocks
+    'cdn.eu.badnet.org'.
+
+    Returns the rows to DROP: (doc_id, host, matched_domain) with
+    matched_domain the LONGEST (most specific) matching suffix. Callers
+    anti-join on doc_id (same contract shape as ``domain_cap``: the
+    decision table is the output).
+
+    Scale: suffix matching is deliberately NOT a LIKE/endswith theta
+    join (quadratic: corpus x list). Each host explodes into its <= ~6
+    dot-suffixes and EQUI-joins the blocklist — broadcast when the list
+    fits (a 4M-domain UT1 list is ~100 MB serialized: raise
+    ``autoBroadcastJoinThreshold`` or let it shuffle on the domain key,
+    which the equi-join form keeps available). Only matched rows reach
+    the per-doc aggregate; unparseable hosts never enter the join.
+
+    ``blocked_domains``: a Python list/tuple of domains, or a DataFrame
+    with a 'domain' column. Matching is case-insensitive (hosts are
+    already lowercased by ``host_of``; list entries are lowered here).
+    """
+    spark = df.sparkSession
+    if isinstance(blocked_domains, DataFrame):
+        bl = blocked_domains.select(
+            F.lower(F.col("domain")).alias("domain")).distinct()
+    else:
+        doms = sorted({str(d).lower().strip(".") for d in blocked_domains})
+        if not doms:
+            raise ValueError("url_blocklist needs a non-empty blocklist")
+        bl = spark.createDataFrame([(d,) for d in doms], "domain string")
+    hosts = (
+        df.select(F.col(id_col).alias("doc_id"),
+                  host_of(url_col).alias("host"))
+        .filter(F.col("host") != "")
+    )
+    sfx = hosts.select(
+        "doc_id", "host", F.explode(host_suffixes("host")).alias("sfx"))
+    return (
+        sfx.join(F.broadcast(bl), sfx["sfx"] == bl["domain"])
+        .groupBy("doc_id")
+        .agg(F.max("host").alias("host"),  # constant within a doc
+             F.max_by("sfx", F.length("sfx")).alias("matched_domain"))
+    )

@@ -63,7 +63,8 @@ from .operators.dedup import (
 )
 
 STAGES = (
-    "documents", "url_dedup", "domain_cap", "filter", "perplexity",
+    "documents", "url_dedup", "blocklist", "domain_cap", "filter",
+    "perplexity",
     "dsir", "decontaminate", "sample",
     "signatures",
     "candidates", "tier_report", "span_pairs", "span_report", "verified",
@@ -128,6 +129,15 @@ class PipelineConfig:
     # shuffled rows are ids + urls); requires a 'url' column in the
     # source. Off by default: the driver tables have no url column, and
     # dedup-everything is this pipeline's contract.
+    blocklist_domains: tuple | list | None = None  # UT1-style domain
+    # blocklist between the URL collapse and the domain cap: a doc is
+    # dropped when its host or ANY parent domain is listed (suffix
+    # matching via the dot-suffix equi-join in webnorm.url_blocklist —
+    # never a LIKE theta join). The (doc_id, host, matched_domain)
+    # decision table is the 'blocklist' stage output. The SORTED list
+    # is hashed into the stage + signature meta, so editing the list
+    # fails resume loudly instead of silently reusing stale decisions.
+    # None = gate off; requires a 'url' column.
     domain_cap_n: int | None = None  # per-domain anti-domination cap
     # (Gopher/C4 convention) after the URL collapse, before the content
     # gates: each host keeps at most N docs, ranked by md5(url) with id
@@ -675,6 +685,51 @@ class NearDupPipeline:
             self.flush_metrics()
             return out
 
+        # UT1-style domain blocklist: like url_dedup, only (doc_id,
+        # host, suffix) rows ever move — text is untouched. The stage
+        # output is the DROP decision table; documents anti-join it.
+        blocklist_hash = None
+        if cfg.blocklist_domains is not None:
+            import hashlib as _hashlib
+
+            from .operators.webnorm import url_blocklist
+
+            if "url" not in documents.columns:
+                raise ValueError(
+                    "blocklist_domains requires a 'url' column in the "
+                    "source (the gate is keyed on the url's host)"
+                )
+            bl_domains = sorted({str(d).lower().strip(".")
+                                 for d in cfg.blocklist_domains})
+            if not bl_domains:
+                raise ValueError("blocklist_domains must be non-empty "
+                                 "when set (use None to disable)")
+            blocklist_hash = _hashlib.sha256(
+                "\n".join(bl_domains).encode()).hexdigest()[:16]
+            docs_for_bl = documents
+
+            def s_blocklist():
+                return url_blocklist(docs_for_bl.select("doc_id", "url"),
+                                     bl_domains)
+
+            bld = self._stage("blocklist", s_blocklist,
+                              meta={"gate": "url-blocklist-suffix-v1",
+                                    "n_domains": len(bl_domains),
+                                    "list_sha": blocklist_hash})
+            out["blocklist"] = bld
+            documents = documents.join(
+                bld.select("doc_id"), "doc_id", "left_anti"
+            )
+        if until == "blocklist":
+            if cfg.blocklist_domains is None:
+                raise ValueError(
+                    "run(until='blocklist') requires cfg.blocklist_domains "
+                    "(the blocklist gate is opt-in)"
+                )
+            _join_check()
+            self.flush_metrics()
+            return out
+
         # per-domain anti-domination cap: like url_dedup, shuffles only
         # (doc_id, url, host) rows — and WindowGroupLimit truncates each
         # host to N rows map-side before even that.
@@ -1123,6 +1178,9 @@ class NearDupPipeline:
                          if cfg.unicode_nfc else {}),
                       **({"url_gate": {"gate": "url-canonical-v1"}}
                          if cfg.enable_url_dedup else {}),
+                      **({"blocklist_gate": {"gate": "url-blocklist-suffix-v1",
+                                             "list_sha": blocklist_hash}}
+                         if cfg.blocklist_domains is not None else {}),
                       **({"domain_cap_gate": {"gate": "domain-cap-md5-v1",
                                               "cap": int(cfg.domain_cap_n)}}
                          if cfg.domain_cap_n is not None else {}),

@@ -748,6 +748,71 @@ class TestDomainCapGate:
             pipe.run(input_path=corpus_dir, until="domain_cap")
 
 
+class TestBlocklistGate:
+    """Opt-in UT1-style domain blocklist between the URL collapse and
+    the domain cap (blocklist_domains): listed hosts — and their
+    subdomains — drop before any content stage; editing the list fails
+    resume loudly."""
+
+    def test_blocked_host_gone_downstream(self, spark, corpus_dir,
+                                          tmp_path_factory):
+        # site0000.example is the zipf-hot host in the fixture corpus;
+        # block it (plus a never-matching entry) and assert the gate's
+        # decision table and the clustered set agree
+        work = str(tmp_path_factory.mktemp("work_blgate"))
+        pipe = NearDupPipeline(spark, PipelineConfig(
+            workdir=work,
+            blocklist_domains=["site0000.example", "no-such.invalid"]))
+        out = pipe.run(input_path=corpus_dir, until="clusters")
+        bld = out["blocklist"]
+        dropped = {r["doc_id"] for r in bld.select("doc_id").collect()}
+        assert dropped  # the hot host exists, so the gate bound
+        assert {r["matched_domain"] for r in bld.collect()} \
+            == {"site0000.example"}
+        docs = spark.read.parquet(os.path.join(corpus_dir,
+                                               "documents.parquet"))
+        want = {
+            r["doc_id"]
+            for r in docs.filter(F.col("url").startswith(
+                "https://site0000.example/"))
+            .select(F.xxhash64("url").alias("doc_id")).collect()
+        }
+        assert dropped == want
+        clustered = {r["doc_id"]
+                     for r in out["clusters"].select("doc_id").collect()}
+        assert clustered.isdisjoint(dropped)
+
+    def test_list_edit_fails_resume_loudly(self, spark, corpus_dir,
+                                           tmp_path_factory):
+        work = str(tmp_path_factory.mktemp("work_bledit"))
+        NearDupPipeline(spark, PipelineConfig(
+            workdir=work, blocklist_domains=["site0000.example"])).run(
+                input_path=corpus_dir, until="signatures")
+        with pytest.raises(RuntimeError, match="incompatible configuration"):
+            NearDupPipeline(spark, PipelineConfig(
+                workdir=work,
+                blocklist_domains=["site0000.example",
+                                   "site0001.example"])).run(
+                    input_path=corpus_dir, until="signatures")
+
+    def test_until_requires_gate_and_urlless_raises(self, spark, corpus_dir,
+                                                    tmp_path_factory):
+        work = str(tmp_path_factory.mktemp("work_nobl"))
+        pipe = NearDupPipeline(spark, PipelineConfig(workdir=work))
+        with pytest.raises(ValueError, match="blocklist_domains"):
+            pipe.run(input_path=corpus_dir, until="blocklist")
+        src = (
+            spark.read.parquet(os.path.join(corpus_dir, "documents.parquet"))
+            .withColumn("doc_id", F.xxhash64("url"))
+            .drop("url")
+        )
+        work2 = str(tmp_path_factory.mktemp("work_blurlless"))
+        pipe2 = NearDupPipeline(spark, PipelineConfig(
+            workdir=work2, blocklist_domains=["x.example"]))
+        with pytest.raises(ValueError, match="'url' column"):
+            pipe2.run(docs=src, until="blocklist")
+
+
 class TestDecontaminateGate:
     """Opt-in Bloom-filter benchmark decontamination between the quality
     gates and the mixing sample (enable_decontaminate): fully-overlapping

@@ -440,3 +440,47 @@ class TestExtractLinks:
         df = spark.createDataFrame([(1, self.HTML)], "doc_id long, html string")
         plan = extract_links(df)._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
+
+
+class TestUrlBlocklist:
+    ROWS = [
+        (1, "https://cdn.eu.badnet.org/a"),      # apex suffix match
+        (2, "https://badnet.org/b"),             # exact apex
+        (3, "https://notbadnet.org/c"),          # NO match: label boundary
+        (4, "https://BADNET.ORG:8080/d"),        # case + port
+        (5, "https://deep.sub.site.example/e"),  # longest-match attribution
+        (6, "https://site.example/f"),           # shorter entry still matches
+        (7, "junk-no-host"),                     # never enters the join
+        (8, "https://clean.org/g"),              # unblocked
+    ]
+    BL = ["badnet.org", "site.example", "sub.site.example"]
+
+    def test_suffix_semantics(self, spark):
+        from frizbee_spark.operators.webnorm import url_blocklist
+
+        df = spark.createDataFrame(self.ROWS, "doc_id long, url string")
+        got = {r["doc_id"]: r for r in url_blocklist(df, self.BL).collect()}
+        assert set(got) == {1, 2, 4, 5, 6}
+        assert got[1]["matched_domain"] == "badnet.org"
+        assert got[4]["host"] == "badnet.org"  # lowered, port stripped
+        # longest (most specific) match wins the attribution
+        assert got[5]["matched_domain"] == "sub.site.example"
+        assert got[6]["matched_domain"] == "site.example"
+
+    def test_dataframe_blocklist_and_validation(self, spark):
+        from frizbee_spark.operators.webnorm import url_blocklist
+
+        df = spark.createDataFrame(self.ROWS, "doc_id long, url string")
+        bl = spark.createDataFrame([("BADNET.ORG",)], "domain string")
+        got = {r["doc_id"] for r in url_blocklist(df, bl).collect()}
+        assert got == {1, 2, 4}
+        with pytest.raises(ValueError, match="non-empty"):
+            url_blocklist(df, [])
+
+    def test_plan_broadcasts_list(self, spark):
+        from frizbee_spark.operators.webnorm import url_blocklist
+
+        df = spark.createDataFrame(self.ROWS, "doc_id long, url string")
+        plan = url_blocklist(df, self.BL)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
