@@ -732,6 +732,70 @@ def q_extract_links(spark, sf_dir):
     ).orderBy("doc_id", "link_n")
 
 
+_HLL_COLS = ("doc_id", "lang", "source", "text")
+
+
+def _hll_oracle_sql(p: int = 10) -> str:
+    """Per-column twin of operators/sketches.hll_distinct: the portable
+    md5-long bucket/rho registers, the exact integer scaled sum
+    (1 << (41-M), order-independent), and the one-double-expression
+    estimate with the SAME alpha*m^2*2^41 numerator constant injected
+    verbatim from Python (no cross-engine float-order question)."""
+    from frizbee_spark.operators.sketches import hll_alpha_numerator
+
+    m = 1 << p
+    k = hll_alpha_numerator(p)
+    blocks = []
+    for c in _HLL_COLS:
+        blocks.append(f"""
+            SELECT '{c}' AS col_name, CAST({m} AS BIGINT) AS m,
+                   n_filled, scaled_sum,
+                   round(CASE WHEN {k!r} / scaled_sum <= {2.5 * m}
+                              AND n_filled < {m}
+                         THEN {float(m)} * ln({float(m)}
+                                              / ({m} - n_filled))
+                         ELSE {k!r} / scaled_sum END, 4) AS distinct_est,
+                   CASE WHEN {k!r} / scaled_sum <= {2.5 * m}
+                             AND n_filled < {m}
+                        THEN 'linear' ELSE 'raw' END AS method,
+                   (SELECT count(DISTINCT {c})::BIGINT FROM documents)
+                       AS exact_distinct
+            FROM (
+                SELECT count(*)::BIGINT AS n_filled,
+                       (COALESCE(SUM(1::BIGINT << (41 - M)), 0)
+                        + ({m} - count(*)) * (1::BIGINT << 41))::BIGINT
+                           AS scaled_sum
+                FROM (
+                    SELECT v % {m} AS bucket,
+                           max(CASE WHEN w = 0 THEN 41
+                               ELSE 41 - length(bin(w)) END) AS M
+                    FROM (SELECT v, (v // {m}) % (1::BIGINT << 40) AS w
+                          FROM (SELECT (('0x' || substr(md5(
+                                    CAST({c} AS VARCHAR)), 1, 15))
+                                    ::UBIGINT)::BIGINT AS v
+                                FROM documents
+                                WHERE {c} IS NOT NULL) t0) t1
+                    GROUP BY 1) t2) t3
+        """)
+    return ("SELECT * FROM (" + " UNION ALL ".join(blocks)
+            + ") ORDER BY col_name")
+
+
+def q_hll_profile(spark, sf_dir):
+    """Portable-hash HyperLogLog distinct-count profile over four
+    columns spanning both estimator branches (doc_id/text: raw HLL;
+    lang/source: linear counting). Exact-checkable where Spark's and
+    DuckDB's own approx_count_distinct never could be: fixed md5
+    bucketing, string-length-of-bin zero counts, integer power-of-two
+    register sums — the only float is one shared-constant expression,
+    rounded to 4 decimals. include_exact adds the true counts so the
+    profile doubles as an error report on the fixture."""
+    from frizbee_spark.operators.sketches import hll_distinct
+
+    return hll_distinct(_docs(spark, sf_dir), list(_HLL_COLS),
+                        include_exact=True).orderBy("col_name")
+
+
 def q_bpe_merges(spark, sf_dir):
     """Distributed BPE tokenizer training (Sennrich et al. 2016): 10
     count-argmax-merge iterations over the vocabulary table — the
@@ -1338,6 +1402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_novelty": q_ngram_novelty,
         "bpe_merges": q_bpe_merges,
         "bpe_doc_tokens": q_bpe_doc_tokens,
+        "hll_profile": q_hll_profile,
         "dsir_weights": q_dsir_weights,
         "source_overlap": q_source_overlap,
         "perplexity_buckets": q_perplexity_buckets,
@@ -2388,6 +2453,7 @@ def oracle_sql() -> dict[str, str]:
         "host_pagerank": _pagerank_oracle_sql(),
         "bpe_merges": _bpe_merges_oracle_sql(),
         "bpe_doc_tokens": _bpe_doc_tokens_oracle_sql(),
+        "hll_profile": _hll_oracle_sql(),
         "vocab_topk": """
             WITH t AS (
                 SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token
