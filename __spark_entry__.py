@@ -796,6 +796,29 @@ def q_hll_profile(spark, sf_dir):
                         include_exact=True).orderBy("col_name")
 
 
+def q_cm_freq(spark, sf_dir):
+    """Count-Min frequency sketch + point estimates: the sketch's
+    integer cells are order-independent sums on portable md5 addresses,
+    so the whole estimate table (min over depth rows, absent cells = 0)
+    is hash-exact cross-engine — the reason CM was chosen over
+    Misra-Gries, whose merge result depends on partition order. Probes
+    are the distinct tokens of every 50th doc; the true count rides
+    along so the result doubles as a never-underestimates certificate
+    (est >= exact for every row, equality wherever no row collides)."""
+    from frizbee_spark.operators.sketches import cm_estimate, cm_sketch
+
+    docs = _docs(spark, sf_dir).filter("text IS NOT NULL")
+    toks = docs.select(
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("token"))
+    sk = cm_sketch(toks, "token")
+    probes = (docs.filter("doc_id % 50 = 0")
+              .select(F.explode(F.split(F.trim("text"), r"\s+"))
+                      .alias("token")).distinct())
+    est = cm_estimate(sk, probes)
+    exact = toks.groupBy("token").agg(F.count("*").alias("exact_count"))
+    return est.join(exact, "token").orderBy("token")
+
+
 def q_bpe_merges(spark, sf_dir):
     """Distributed BPE tokenizer training (Sennrich et al. 2016): 10
     count-argmax-merge iterations over the vocabulary table — the
@@ -1403,6 +1426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
         "bpe_doc_tokens": q_bpe_doc_tokens,
         "hll_profile": q_hll_profile,
+        "cm_freq": q_cm_freq,
         "dsir_weights": q_dsir_weights,
         "source_overlap": q_source_overlap,
         "perplexity_buckets": q_perplexity_buckets,
@@ -2454,6 +2478,49 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merges": _bpe_merges_oracle_sql(),
         "bpe_doc_tokens": _bpe_doc_tokens_oracle_sql(),
         "hll_profile": _hll_oracle_sql(),
+        "cm_freq": """
+            -- Count-Min twin: same md5 cell addresses ('cm<row>:' ||
+            -- token % width), same integer cell sums, min over the 4
+            -- rows with missing cells read as 0. Tokenization mirrors
+            -- vocab_topk's fixture contract (single-space corpus).
+            WITH toks AS (
+                SELECT unnest(string_split(trim(text), ' ')) AS token
+                FROM documents WHERE text IS NOT NULL
+            ),
+            cells AS (
+                SELECT r,
+                       (('0x' || substr(md5('cm' || r::VARCHAR || ':'
+                            || token), 1, 15))::UBIGINT)::BIGINT
+                           % 2048 AS cell,
+                       count(*)::BIGINT AS cnt
+                FROM toks, unnest([0, 1, 2, 3]) t(r)
+                GROUP BY 1, 2
+            ),
+            probes AS (
+                SELECT DISTINCT unnest(string_split(trim(text), ' '))
+                    AS token
+                FROM documents
+                WHERE doc_id % 50 = 0 AND text IS NOT NULL
+            ),
+            addr AS (
+                SELECT p.token, t.r,
+                       (('0x' || substr(md5('cm' || t.r::VARCHAR || ':'
+                            || p.token), 1, 15))::UBIGINT)::BIGINT
+                           % 2048 AS cell
+                FROM probes p, unnest([0, 1, 2, 3]) t(r)
+            ),
+            est AS (
+                SELECT a.token, min(COALESCE(c.cnt, 0))::BIGINT AS est
+                FROM addr a LEFT JOIN cells c
+                    ON a.r = c.r AND a.cell = c.cell
+                GROUP BY a.token
+            )
+            SELECT e.token, e.est, x.exact_count
+            FROM est e
+            JOIN (SELECT token, count(*)::BIGINT AS exact_count
+                  FROM toks GROUP BY token) x USING (token)
+            ORDER BY e.token
+        """,
         "vocab_topk": """
             WITH t AS (
                 SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token

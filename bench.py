@@ -200,7 +200,7 @@ def main() -> None:
             "source_overlap", "perplexity_buckets",
             "budget_select", "extract_links", "host_pagerank",
             "vocab_topk", "ngram_novelty",
-            "bpe_merges", "bpe_doc_tokens", "hll_profile",
+            "bpe_merges", "bpe_doc_tokens", "hll_profile", "cm_freq",
             "user_sessions", "event_rates",
             "fuzzy_join", "shingle_containment_pairs",
             "candidate_tiers", "curation_rollup", "dedup_rewrite",

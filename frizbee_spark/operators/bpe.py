@@ -13,9 +13,10 @@ distributed re-expression keeps the CORPUS out of the loop entirely:
   vocab (map-side combine), (b) a distributed TakeOrdered for the
   argmax pair (never a global sort), (c) one literal string replace
   applied vocab-wide. The driver holds exactly one row per iteration.
-- Lineage is cut by ``localCheckpoint`` every few iterations (same
-  pattern as graph.host_pagerank) so plan-tree depth — not data —
-  never becomes the limit.
+- Each iteration's vocab frame is persisted (tracked) and the previous
+  released once the next materializes — execution reads the last cache,
+  never recursing the merge chain, so plan depth stays a non-issue at
+  this operator's merge counts.
 
 Word symbol sequences are stored as a sentinel-framed string: each
 symbol wrapped in US (``\\x1f``) so the merge of pair (a, b) is the
@@ -77,8 +78,24 @@ def bpe_train(
     """Learn ``n_merges`` BPE merges from the corpus. Returns a
     DataFrame (rank, left_sym, right_sym, merged, freq) ordered by
     rank; with ``return_words=True`` also returns the final vocabulary
-    segmentation (word, cnt, s) for downstream encoding."""
-    words = _init_words(df, text_col).localCheckpoint()
+    segmentation (word, cnt, s) for downstream encoding.
+
+    Cache lifecycle (the repo contract, same as graph.host_pagerank):
+    each iteration's vocab frame is ``tracked_persist``-ed and the
+    previous one unpersisted as soon as the top-1 collect materializes
+    the current — execution always reads the last cached frame, so
+    nothing recomputes and no ``localCheckpoint`` is needed (its blocks
+    outlive Dataset.unpersist and would leak past ``release_tracked``;
+    at tokenizer-production merge counts — tens of thousands — swap in
+    reliable ``Dataset.checkpoint`` to an owned directory instead).
+    Without ``return_words`` everything is released before returning
+    (the merges live on the driver); with it, the final words frame
+    stays persisted but TRACKED — the unit-of-work owner releases it
+    via ``util.release_tracked`` after its consuming action."""
+    from ..util import tracked_persist
+
+    words = tracked_persist(_init_words(df, text_col))
+    prev = None
     merges = []
     for k in range(1, n_merges + 1):
         pairs = (
@@ -91,17 +108,23 @@ def bpe_train(
             .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
             .agg(F.sum("cnt").alias("freq"))
         )
-        # argmax pair: TakeOrderedAndProject (top-1), never a global sort
+        # argmax pair: TakeOrderedAndProject (top-1), never a global
+        # sort. Materializes the current words frame, so the previous
+        # iteration's cache can drop now.
         best = pairs.orderBy(F.desc("freq"), "a", "b").limit(1).collect()
+        if prev is not None:
+            prev.unpersist()
+            prev = None
         if not best:
             break  # every word is a single symbol already
         a, b, freq = best[0]["a"], best[0]["b"], int(best[0]["freq"])
         merges.append((k, a, b, a + b, freq))
-        words = words.withColumn(
+        nxt = words.withColumn(
             "s", F.replace("s", F.lit(US + a + US + US + b + US),
                            F.lit(US + a + b + US)))
-        if k % 4 == 0:
-            words = words.localCheckpoint()
+        prev, words = words, tracked_persist(nxt)
+    if prev is not None:
+        prev.unpersist()
     out = df.sparkSession.createDataFrame(
         merges,
         "rank long, left_sym string, right_sym string, "
@@ -109,6 +132,7 @@ def bpe_train(
     ).orderBy("rank")
     if return_words:
         return out, words
+    words.unpersist()
     return out
 
 

@@ -118,3 +118,85 @@ def hll_distinct(
         row = _hll_one(df, c, p, include_exact)
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# -- Count-Min frequency sketch ---------------------------------------------
+
+def cm_sketch(
+    df: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 2048,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) of the frequency
+    distribution of ``col`` — (row, cell, cnt), depth x width integer
+    cells. Point-frequency estimates (:func:`cm_estimate`) never
+    underestimate, and overestimate by more than 2N/width with
+    probability at most (1/2)^depth.
+
+    Same portability discipline as :func:`hll_distinct`: cells are
+    addressed by the engine-neutral md5 long of ``'cm<row>:' || value``
+    and counts are plain integer sums — order-independent, so the
+    sketch TABLE itself is exactly reproducible by any engine, where
+    comparable sketches (Misra-Gries/SpaceSaving) depend on merge order
+    and never are.
+
+    Scale: the aggregate is map-side combinable to <= depth*width cells
+    per task regardless of input rows; ONE shuffle of at most
+    depth*width tiny rows total. At 10^12 tokens this is the only way
+    to ask "how often does X occur" without materializing the
+    vocabulary. ``weight_col`` sums that column instead of counting
+    rows (e.g. pre-aggregated (token, cnt) input)."""
+    if not 1 <= depth <= 16:
+        raise ValueError(f"depth must be in [1, 16], got {depth}")
+    if width < 16:
+        raise ValueError(f"width must be >= 16, got {width}")
+    w = (F.col(weight_col).cast("long") if weight_col
+         else F.lit(1).cast("long"))
+    rows = []
+    for r in range(depth):
+        cell = (F.conv(F.substring(F.md5(
+            F.concat(F.lit(f"cm{r}:"), F.col(col).cast("string"))),
+            1, 15), 16, 10).cast("long") % width)
+        rows.append(
+            df.filter(F.col(col).isNotNull())
+            .select(F.lit(r).cast("long").alias("row"),
+                    cell.alias("cell"), w.alias("w"))
+        )
+    un = rows[0]
+    for x in rows[1:]:
+        un = un.unionByName(x)
+    return (un.groupBy("row", "cell").agg(F.sum("w").alias("cnt")))
+
+
+def cm_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    probe_col: str = "token",
+    depth: int = 4,
+    width: int = 2048,
+) -> DataFrame:
+    """Point-frequency estimates for ``probes`` from a :func:`cm_sketch`
+    table: est = min over rows of the addressed cell (the classic CM
+    upper bound; missing cells read 0). ``depth``/``width`` must match
+    the sketch's build parameters (passed, not inferred — inferring
+    depth would force the sketch subtree to compute once for the probe
+    and again for the join). The probe side re-derives the same md5
+    cell addresses and joins the (small, <= depth*width rows) sketch —
+    broadcast. Output: (probe_col, est)."""
+    keyed = []
+    for r in range(depth):
+        cell = (F.conv(F.substring(F.md5(
+            F.concat(F.lit(f"cm{r}:"), F.col(probe_col).cast("string"))),
+            1, 15), 16, 10).cast("long") % width)
+        keyed.append(probes.select(
+            F.col(probe_col),
+            F.lit(r).cast("long").alias("row"), cell.alias("cell")))
+    un = keyed[0]
+    for x in keyed[1:]:
+        un = un.unionByName(x)
+    joined = un.join(F.broadcast(sketch), ["row", "cell"], "left")
+    return (joined.groupBy(probe_col)
+            .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long")))
+                 .alias("est")))

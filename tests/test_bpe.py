@@ -56,6 +56,16 @@ TEXTS = [
 
 @pytest.mark.spark
 class TestBpe:
+    @pytest.fixture(autouse=True)
+    def _release(self, spark):
+        # unit-of-work owner contract: the trainer's tracked persists
+        # (final words frame under return_words=True) are released here,
+        # so the session-wide cache-lifecycle tests see an empty manager
+        yield
+        from frizbee_spark.util import release_tracked
+
+        release_tracked()
+
     @pytest.fixture(scope="class")
     def docs(self, spark):
         return spark.createDataFrame(

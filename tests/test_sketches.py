@@ -59,3 +59,68 @@ class TestHllDistinct:
             hll_distinct(df, [])
         with pytest.raises(ValueError, match="p must be"):
             hll_distinct(df, ["x"], p=2)
+
+
+@pytest.mark.spark
+class TestCmSketch:
+    def _tokens(self, spark, n=4000):
+        # zipf-ish: token t_k appears ~n/(k+1) times, deterministic
+        return spark.range(n).select(
+            F.concat(F.lit("t"),
+                     (F.col("id") % (F.col("id") % 37 + 1)).cast("string"))
+            .alias("token"))
+
+    def test_never_underestimates_and_tight_on_sparse(self, spark):
+        from frizbee_spark.operators.sketches import cm_estimate, cm_sketch
+
+        toks = self._tokens(spark)
+        exact = {r["token"]: r["n"] for r in
+                 toks.groupBy("token").agg(F.count("*").alias("n")).collect()}
+        sk = cm_sketch(toks, "token")          # depth 4, width 2048
+        probes = toks.select("token").distinct()
+        est = {r["token"]: r["est"] for r in
+               cm_estimate(sk, probes).collect()}
+        assert set(est) == set(exact)
+        assert all(est[t] >= exact[t] for t in exact)
+        # 37 distinct tokens in 4*2048 cells: no row collides in all 4
+        assert est == exact
+
+    def test_weighted_preaggregated_equals_raw(self, spark):
+        from frizbee_spark.operators.sketches import cm_sketch
+
+        toks = self._tokens(spark)
+        raw = {(r["row"], r["cell"]): r["cnt"]
+               for r in cm_sketch(toks, "token").collect()}
+        pre = toks.groupBy("token").agg(F.count("*").alias("n"))
+        wtd = {(r["row"], r["cell"]): r["cnt"]
+               for r in cm_sketch(pre, "token", weight_col="n").collect()}
+        assert raw == wtd
+
+    def test_unseen_probe_reads_bounded_overcount(self, spark):
+        from frizbee_spark.operators.sketches import cm_estimate, cm_sketch
+
+        toks = self._tokens(spark)
+        sk = cm_sketch(toks, "token")
+        probes = spark.createDataFrame(
+            [("never-seen-token",)], "token string")
+        est = cm_estimate(sk, probes).collect()[0]["est"]
+        assert 0 <= est <= 4000 * 2 // 2048 + 1  # CM bound, generous
+
+    def test_sketch_size_bounded_and_one_exchange(self, spark):
+        from frizbee_spark.operators.sketches import cm_sketch
+
+        toks = self._tokens(spark, 2000)
+        sk = cm_sketch(toks, "token", depth=3, width=64)
+        assert sk.count() <= 3 * 64
+        plan = sk._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1
+        assert "partial_sum" in plan  # map-side combine
+
+    def test_validation(self, spark):
+        from frizbee_spark.operators.sketches import cm_sketch
+
+        toks = self._tokens(spark, 10)
+        with pytest.raises(ValueError, match="depth"):
+            cm_sketch(toks, "token", depth=0)
+        with pytest.raises(ValueError, match="width"):
+            cm_sketch(toks, "token", width=4)
