@@ -125,3 +125,22 @@ class TestBpe:
         df = bpe_doc_tokens(docs, 2)
         explained = df._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in explained
+
+    def test_random_corpus_differential(self, spark):
+        # seeded random corpora: the distributed trainer must equal the
+        # brute-force reference on arbitrary word mixes (repeats, short
+        # words, heavy ties), not just the curated fixture
+        import random
+
+        rng = random.Random(1508)
+        for trial in range(3):
+            vocab = ["a", "ab", "aab", "the", "lo", "low", "xyz", "zz"]
+            texts = [" ".join(rng.choices(vocab, k=rng.randrange(3, 12)))
+                     for _ in range(rng.randrange(4, 10))]
+            want, _ = _ref_bpe(texts, 6)
+            df = spark.createDataFrame(
+                [(i, t) for i, t in enumerate(texts)],
+                "doc_id long, text string")
+            got = [(r["rank"], r["left_sym"], r["right_sym"], r["merged"],
+                    r["freq"]) for r in bpe_train(df, 6).collect()]
+            assert got == want, (trial, texts)

@@ -442,3 +442,31 @@ class TestContainerMeta:
         assert got[100]["container"] == "application/octet-stream"
         assert got[101]["duration_ms"] == 0
         assert got[102]["container"] == "audio/mpeg"
+
+    def test_container_parsers_total_under_mutation(self):
+        # web-scale dirty-data hardening: seeded byte flips, truncations,
+        # and splices of valid fixtures must never raise — the operator
+        # is advertised total (octet-stream fallback), so the parsers
+        # must stop cleanly on ANY malformed structure
+        import random
+        from frizbee_spark.operators.multimodal import (
+            _parse_mp3_meta, _parse_mp4_meta, synth_container_blob)
+
+        rng = random.Random(20260821)
+        for trial in range(400):
+            b = bytearray(synth_container_blob(rng.randrange(200)))
+            mode = trial % 4
+            if mode == 0:  # flip up to 8 bytes
+                for _ in range(rng.randrange(1, 9)):
+                    b[rng.randrange(len(b))] = rng.randrange(256)
+            elif mode == 1:  # truncate anywhere
+                del b[rng.randrange(len(b)):]
+            elif mode == 2:  # splice two blobs at random cut points
+                c = synth_container_blob(rng.randrange(200))
+                b = b[:rng.randrange(len(b))] + c[rng.randrange(len(c)):]
+            else:  # random garbage prefix
+                b = bytearray(rng.randbytes(rng.randrange(64))) + b
+            out = _parse_mp4_meta(bytes(b)) or _parse_mp3_meta(bytes(b))
+            if out is not None:  # whatever parses must be well-typed
+                assert out[0] in ("video/mp4", "audio/mpeg")
+                assert all(isinstance(x, int) and x >= 0 for x in out[1:])
